@@ -1,0 +1,118 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Html
+
+/** Directed edge over 64-bit vertex ids (`xxhash64(url)` or raw doc ids). */
+final case class Edge(src: Long, dst: Long)
+
+/**
+ * Edge-table construction and shared graph primitives (SURVEY.md §3, §4.1).
+ *
+ * Everything is declarative DataFrame/Dataset — Catalyst prunes the `pages`
+ * scan down to `(url, html)` and pushes filters into the parquet reader; the
+ * only opaque pieces are the two extraction UDFs, deliberately placed in
+ * projections (never in filters) so pushdown survives (SURVEY.md §5.1).
+ */
+object GraphOps {
+
+  /**
+   * §4.1 ingest: pages → deduplicated directed edge table over xxhash64 ids.
+   *
+   * Scale notes: the scan reads only `url` + `html` (column pruning); the
+   * explode fans out before the hash so no array ever crosses a shuffle; the
+   * final `dropDuplicates` is the single shuffle (hash on (src,dst), partial
+   * aggregation map-side).
+   */
+  def edgesFromPages(pages: DataFrame): DataFrame = {
+    pages
+      .select(col("url"), Html.extract_outlinks(col("html")).as("links"))
+      .select(col("url"), explode(col("links")).as("raw"))
+      .select(col("url"), Html.normalize_url(col("raw"), col("url")).as("link"))
+      .filter(col("link").isNotNull)
+      .filter(col("link").rlike("^https?://"))        // P3 valid-link predicate
+      .select(xxhash64(col("url")).as("src"), xxhash64(col("link")).as("dst"))
+      .filter(col("src") =!= col("dst"))              // self-loop removal
+      .dropDuplicates("src", "dst")                   // A7
+  }
+
+  /** url → vid mapping table (for joining ranks back to urls). */
+  def vertexUrls(pages: DataFrame): DataFrame =
+    pages.select(xxhash64(col("url")).as("vid"), col("url")).dropDuplicates("vid")
+
+  /** All vertex ids appearing anywhere in the edge set. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("vid"))
+      .union(edges.select(col("dst").as("vid")))
+      .distinct()
+
+  /** A2 — out-degree per source vertex (map-side combine then final agg). */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outDeg"))
+      .select(col("vid"), col("outDeg"))
+
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("vid")).agg(count(lit(1)).as("inDeg"))
+      .select(col("vid"), col("inDeg"))
+
+  /** J5 — dangling vertices: V ∖ src(E). */
+  def danglingVertices(edges: DataFrame): DataFrame =
+    vertices(edges).join(edges.select("src").distinct(),
+      col("vid") === col("src"), "left_anti")
+
+  /**
+   * U1 — canonical undirected edge set: one row per unordered pair {a,b},
+   * a < b, self-loops dropped. Input may be directed and/or contain both
+   * orientations; output is exact-deduplicated.
+   */
+  def undirected(edges: DataFrame): DataFrame =
+    edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .dropDuplicates("a", "b")
+
+  /** Both directions of the canonical undirected set (for message passing). */
+  def symmetrized(edges: DataFrame): DataFrame = {
+    val und = undirected(edges)
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /**
+   * W5 — CSR-style layout (BASELINE.json:6): range-partition by `src`, sort
+   * within partitions, persist. Each partition then holds contiguous
+   * adjacency runs — the Catalyst-native reading of a per-partition CSR.
+   * No global sort; the range exchange is the only shuffle.
+   */
+  def csrLayout(edges: DataFrame, numPartitions: Int): DataFrame =
+    edges.repartitionByRange(numPartitions, col("src"))
+      .sortWithinPartitions("src")
+
+  /**
+   * Iteration-ready edge cache: hash-partitioned on `src` so every superstep
+   * join `edges.src == ranks.vid` reuses this partitioning and only the
+   * (much smaller) rank side shuffles. Persisted MEMORY_AND_DISK — at 100 TB
+   * the edge table stays put across all ~O(100) supersteps, which is the
+   * single biggest shuffle saving in the engine.
+   */
+  def partitionForIteration(edges: DataFrame, numPartitions: Int): DataFrame = {
+    val p = edges.repartition(numPartitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    p
+  }
+
+  /** S5 — SNAP-style text edge-list ingest (`src<ws>dst`, `#` comments). */
+  def edgeListText(spark: SparkSession, path: String): Dataset[Edge] = {
+    import spark.implicits._
+    spark.read.text(path)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("src"),
+              element_at(col("f"), 2).cast("long").as("dst"))
+      .as[Edge]
+  }
+}

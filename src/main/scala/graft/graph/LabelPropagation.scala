@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Synchronous label propagation for community detection (Raghavan, Albert,
+ * Kumara 2007; mandated BASELINE.json:6). Exactness requires a fully pinned
+ * schedule (SURVEY.md §7.3 #1):
+ *
+ *  - labels init to own vertex id;
+ *  - **synchronous** supersteps (all vertices update from the previous
+ *    iteration's labels — no async order-dependence);
+ *  - new label = the most frequent label among undirected neighbors,
+ *    deterministic tie-break = smallest label (built-in `max_by` over the
+ *    ordering key `(count, -label)` — no UDAF, stays in codegen);
+ *  - isolated vertices keep their own label;
+ *  - fixed `maxIter` cap (synchronous LPA can 2-cycle on bipartite
+ *    structures; the cap pins the output deterministically).
+ */
+object LabelPropagation {
+
+  def run(spark: SparkSession, edges: DataFrame,
+          numPartitions: Int = 0, maxIter: Int = 20): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val sym = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), parts)
+    sym.count()
+
+    var labels = GraphOps.vertices(sym)
+      .select(col("vid"), col("vid").as("label"))
+      .repartition(parts, col("vid"))
+      .localCheckpoint(true)
+
+    var iter    = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbr = sym.join(labels, sym("src") === labels("vid"))
+        .select(sym("dst").as("vid"), labels("label"))
+      val freq = nbr.groupBy("vid", "label").agg(count(lit(1)).as("cnt"))
+      val winner = freq.groupBy("vid")
+        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("newLabel"))
+      val next = labels.join(winner, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "vid")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

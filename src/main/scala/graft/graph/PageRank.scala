@@ -1,0 +1,161 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-superstep metrics (BASELINE.json:6 — checkpointed with the ranks). */
+final case class IterMetrics(
+    iter: Int,
+    l1: Double,
+    danglingMass: Double,
+    edgesProcessed: Long,
+    wallMs: Long)
+
+final case class PageRankResult(ranks: DataFrame, metrics: Seq[IterMetrics], iterations: Int)
+
+final case class PageRankConfig(
+    damping: Double = 0.85,
+    eps: Double = 1e-9,
+    maxIter: Int = 200,
+    numPartitions: Int = 0,          // 0 → spark.sql.shuffle.partitions
+    /** out-degree above which a source vertex is treated as a hub and salted (J4). */
+    hubDegreeThreshold: Long = 10000L,
+    saltBuckets: Int = 8,
+    /** durable checkpoint every k supersteps (resume point); lineage is truncated every superstep regardless. */
+    ckptEvery: Int = 5)
+
+/**
+ * Damped power-iteration PageRank (d=0.85, dangling-mass redistribution,
+ * L1-convergence epsilon) — BASELINE.json:6; golden values FIXTURES.md §2.
+ *
+ * Superstep = one shuffle-hash (or broadcast) join of ranks against the
+ * cached, src-partitioned edge table, then a groupBy-destination sum with
+ * map-side partial aggregation — the Spark-native form of the reference's
+ * CSR gather + block reduction kernels [R].
+ *
+ * Scale design (SURVEY.md §4.2):
+ *  - edges are hash-partitioned on `src` ONCE and persisted; every superstep
+ *    join reuses that partitioning, so per-iteration shuffle traffic is
+ *    O(|V|) ranks + O(|V|) partial sums, never O(|E|) edges;
+ *  - dangling mass needs no extra anti-join pass: each non-dangling vertex
+ *    transmits exactly its rank, so danglingMass = 1 − Σ(partial sums) —
+ *    one scalar action per superstep, self-normalizing (Σ ranks stays 1);
+ *  - hub sources (out-degree > threshold) are salted: their rank row is
+ *    replicated S ways and edges join on (vid, salt) — on top of AQE's
+ *    skew-join splits (both layers mandated by BASELINE.json:6);
+ *  - lineage is truncated every superstep (localCheckpoint) and durably
+ *    checkpointed every `ckptEvery` supersteps via the pluggable
+ *    [[Checkpointer]], so a run resumes mid-iteration.
+ */
+object PageRank {
+
+  /** Pluggable durable checkpoint (implemented by ckpt.IcebergLikeStore). */
+  trait Checkpointer {
+    /** Persist ranks+metrics for `iter`; return the re-read (lineage-free) ranks. */
+    def save(iter: Int, ranks: DataFrame, metrics: Seq[IterMetrics]): DataFrame
+    /** Most recent saved state, if any: (iter, ranks, metrics so far). */
+    def latest(): Option[(Int, DataFrame, Seq[IterMetrics])]
+  }
+
+  /** No durability: truncate lineage in memory only. */
+  object NoopCheckpointer extends Checkpointer {
+    def save(iter: Int, ranks: DataFrame, metrics: Seq[IterMetrics]): DataFrame =
+      ranks.localCheckpoint(true)
+    def latest(): Option[(Int, DataFrame, Seq[IterMetrics])] = None
+  }
+
+  def run(spark: SparkSession, edges: DataFrame,
+          cfg: PageRankConfig = PageRankConfig(),
+          ckpt: Checkpointer = NoopCheckpointer): PageRankResult = {
+    val parts =
+      if (cfg.numPartitions > 0) cfg.numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    // --- static per-run state, partitioned for the iteration and cached ---
+    val e = GraphOps.partitionForIteration(
+      edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      parts)
+    val edgeCount = e.count() // materialize the cache before the loop
+
+    val outDeg = GraphOps.outDegrees(e)
+      .repartition(parts, col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e)
+      .repartition(parts, col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    require(n > 0, "empty graph")
+
+    // hub sources for salting — tiny by construction (hubs are rare), safe to collect
+    val hubIds: Array[Long] = outDeg
+      .filter(col("outDeg") > cfg.hubDegreeThreshold)
+      .select("vid").collect().map(_.getLong(0))
+
+    val d = cfg.damping
+
+    // --- resume or cold start ---
+    val (startIter, ranks0, metrics0) = ckpt.latest() match {
+      case Some((it, saved, ms)) => (it + 1, saved, ms.toVector)
+      case None =>
+        (0, verts.select(col("vid"), lit(1.0 / n).as("rank")).localCheckpoint(true), Vector.empty[IterMetrics])
+    }
+
+    var ranks   = ranks0
+    var metrics = metrics0
+    var iter    = startIter
+    var l1      = Double.MaxValue
+
+    while (l1 >= cfg.eps && iter < cfg.maxIter) {
+      val t0 = System.nanoTime()
+
+      // rank ⋈ outDeg: both hash-partitioned on vid → no extra exchange
+      val rankDeg = ranks.join(outDeg, "vid")
+        .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
+
+      // per-destination partial sums (J1 + A1), hub-salted when needed (J4)
+      val contribs = Salting.contribJoin(e, rankDeg, hubIds, cfg.saltBuckets)
+      val sums = contribs.groupBy("dst").agg(sum(col("w")).as("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // one scalar action: total transmitted mass → dangling mass (see scaladoc)
+      val transmitted = Option(sums.agg(sum(col("s"))).first().get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val dangling = math.max(0.0, 1.0 - transmitted)
+
+      val base = (1.0 - d) / n + d * dangling / n
+      val next = ranks.join(sums, ranks("vid") === sums("dst"), "left")
+        .select(ranks("vid"),
+          (lit(base) + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"),
+          abs(lit(base) + lit(d) * coalesce(col("s"), lit(0.0)) - ranks("rank")).as("delta"))
+
+      // truncate lineage; durable checkpoint on schedule (resume point)
+      val durable = cfg.ckptEvery > 0 && (iter + 1) % cfg.ckptEvery == 0
+      val mat =
+        if (durable) next.persist(StorageLevel.MEMORY_AND_DISK)
+        else next.localCheckpoint(true)
+      val row = mat.agg(sum(col("delta")), sum(col("rank"))).first()
+      l1 = row.getDouble(0)
+
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      metrics = metrics :+ IterMetrics(iter, l1, dangling, edgeCount, wallMs)
+
+      val newRanks =
+        if (durable) {
+          val r = ckpt.save(iter, mat.select("vid", "rank"), metrics)
+          mat.unpersist(false)
+          r
+        } else mat.select("vid", "rank")
+
+      sums.unpersist(false)
+      ranks = newRanks
+      iter += 1
+    }
+
+    // final state is always durably recorded (exact resume point = done)
+    if (metrics.nonEmpty && !(cfg.ckptEvery > 0 && iter % cfg.ckptEvery == 0))
+      ranks = ckpt.save(iter - 1, ranks, metrics)
+
+    PageRankResult(ranks, metrics, iter)
+  }
+}

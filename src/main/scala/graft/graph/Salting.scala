@@ -1,0 +1,52 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * J4 — hub-vertex salting for the superstep contribution join
+ * (BASELINE.json:6,14: "hub-vertex salting, AQE skew-join splits" — this is
+ * the explicit layer; AQE skew-join is enabled in session conf as layer 2).
+ *
+ * AQE splits skewed *shuffle partitions* after the fact, but a single hot key
+ * (a hub page with 10⁷ out-links) still hashes to one task. Salting fixes the
+ * key itself: the hub's rank row is replicated `S` ways with an explicit salt
+ * column, hub edges pick a deterministic salt from `xxhash64(dst)`, and the
+ * join key becomes `(vid, salt)` — spreading one hot key over S tasks.
+ *
+ * Only hub keys are salted; the (vastly larger) non-hub edge set takes the
+ * plain co-partitioned join with zero overhead. Salt values derive from
+ * `xxhash64`, never `rand()` (determinism rule, SURVEY.md §7.4).
+ */
+object Salting {
+
+  /**
+   * `edges ⋈ rankDeg on src = vid` → per-edge contribution rows `(dst, w)`.
+   * `rankDeg` columns: (vid, w) where w = rank/outDeg.
+   */
+  def contribJoin(edges: DataFrame, rankDeg: DataFrame,
+                  hubIds: Array[Long], saltBuckets: Int): DataFrame = {
+    val plain = edges.join(rankDeg, edges("src") === rankDeg("vid"))
+      .select(edges("dst"), rankDeg("w"))
+    if (hubIds.isEmpty || saltBuckets <= 1) plain
+    else {
+      val isHub = col("src").isin(hubIds.map(Long.box).toIndexedSeq: _*)
+      val hubEdges  = edges.filter(isHub)
+        .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltBuckets)).cast("int"))
+      val restEdges = edges.filter(!isHub)
+
+      val hubRanks = rankDeg
+        .filter(col("vid").isin(hubIds.map(Long.box).toIndexedSeq: _*))
+        .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+
+      val hubContrib = hubEdges.join(hubRanks,
+          hubEdges("src") === hubRanks("vid") && hubEdges("salt") === hubRanks("salt"))
+        .select(hubEdges("dst"), hubRanks("w"))
+
+      val restContrib = restEdges.join(rankDeg, restEdges("src") === rankDeg("vid"))
+        .select(restEdges("dst"), rankDeg("w"))
+
+      restContrib.unionByName(hubContrib)
+    }
+  }
+}

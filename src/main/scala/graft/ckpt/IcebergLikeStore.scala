@@ -1,0 +1,110 @@
+package graft.ckpt
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.graph.{IterMetrics, PageRank}
+
+/** One committed table snapshot (the unit of lineage / resume). */
+final case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Long,            // -1 for the first snapshot
+    table: String,
+    dataDir: String,
+    files: Seq[String],
+    iter: Int,                 // superstep the snapshot belongs to (-1 if n/a)
+    metrics: Seq[IterMetrics], // per-iteration history up to `iter`
+    committedAtMs: Long)
+
+/**
+ * S3/S4 — Iceberg-style table store (SURVEY.md §2.1): Parquet data files plus
+ * a JSON snapshot/manifest layer providing the Iceberg semantics the north
+ * rule exercises — atomic snapshot commit, snapshot lineage (parent chain),
+ * per-snapshot file manifests, and resume-from-snapshot — behind a narrow
+ * interface so a real Iceberg catalog drops in when a runtime jar is
+ * available (none exists in this offline environment; documented divergence).
+ *
+ * Layout under `root`:
+ * {{{
+ *   <table>/data/snap-<id>/part-*.parquet     immutable data files
+ *   <table>/metadata/snap-<id>.json           manifest (files + lineage + metrics)
+ *   <table>/metadata/current                  pointer file, atomically replaced
+ * }}}
+ *
+ * Commit protocol: write data, write manifest, then ATOMIC_MOVE a temp
+ * pointer over `current` — readers see either the old or the new snapshot,
+ * never a partial one. (On an object store this last step would be a catalog
+ * swap; the interface is unchanged.)
+ */
+class IcebergLikeStore(spark: SparkSession, root: String) {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private def tableDir(table: String): Path = Paths.get(root, table)
+  private def metaDir(table: String): Path  = tableDir(table).resolve("metadata")
+
+  def currentSnapshotId(table: String): Option[Long] = {
+    val cur = metaDir(table).resolve("current")
+    if (Files.exists(cur)) Some(new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  def snapshotMeta(table: String, id: Long): SnapshotMeta =
+    mapper.readValue(metaDir(table).resolve(s"snap-$id.json").toFile, classOf[SnapshotMeta])
+
+  def currentSnapshot(table: String): Option[SnapshotMeta] =
+    currentSnapshotId(table).map(snapshotMeta(table, _))
+
+  /** Full lineage, newest first, following parent pointers. */
+  def history(table: String): Seq[SnapshotMeta] = {
+    Iterator.iterate(currentSnapshot(table)) {
+      case Some(m) if m.parentId >= 0 => Some(snapshotMeta(table, m.parentId))
+      case _ => None
+    }.takeWhile(_.isDefined).flatten.toSeq
+  }
+
+  /** Atomic snapshot commit; returns the new snapshot's metadata. */
+  def commit(table: String, df: DataFrame, iter: Int = -1,
+             metrics: Seq[IterMetrics] = Nil): SnapshotMeta = {
+    val parent = currentSnapshotId(table).getOrElse(-1L)
+    val id     = parent + 1
+    val dataDir = tableDir(table).resolve("data").resolve(s"snap-$id")
+    Files.createDirectories(metaDir(table))
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val files = Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val meta = SnapshotMeta(id, parent, table, dataDir.toString, files, iter,
+      metrics, System.currentTimeMillis())
+    mapper.writerWithDefaultPrettyPrinter()
+      .writeValue(metaDir(table).resolve(s"snap-$id.json").toFile, meta)
+    val tmp = metaDir(table).resolve(s".current.tmp-$id")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaDir(table).resolve("current"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    meta
+  }
+
+  /** Read the current snapshot of a table (or a specific snapshot id — time travel). */
+  def read(table: String, snapshotId: Option[Long] = None): DataFrame = {
+    val meta = snapshotId.map(snapshotMeta(table, _))
+      .orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalStateException(s"no snapshot for table $table"))
+    spark.read.parquet(meta.dataDir)
+  }
+
+  /** PageRank-facing checkpointer over the `ranks` table of this store. */
+  def rankCheckpointer(table: String = "ranks"): PageRank.Checkpointer =
+    new PageRank.Checkpointer {
+      def save(iter: Int, ranks: DataFrame, metrics: Seq[IterMetrics]): DataFrame = {
+        commit(table, ranks, iter, metrics)
+        read(table)
+      }
+      def latest(): Option[(Int, DataFrame, Seq[IterMetrics])] =
+        currentSnapshot(table).map(m => (m.iter, read(table, Some(m.snapshotId)), m.metrics))
+    }
+}

@@ -9,12 +9,17 @@ import graft.sources.PageSynth
  * Smoke CLI: drives the whole engine end-to-end on a synthetic crawl —
  * pages → extract outlinks → edge table → PageRank / CC / triangles —
  * and prints a one-screen summary. Usage:
- *   sbt "runMain graft.tools.PipelineDemo [nPages] [cores]"
+ *   sbt "runMain graft.tools.PipelineDemo [nPages] [cores] [ckptDir]"
+ *
+ * When `ckptDir` is given, ranks are durably checkpointed there via
+ * IcebergLikeStore and the run resumes from the latest snapshot if one exists
+ * (re-run the same command to watch it resume instead of recompute).
  */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val n     = if (args.length > 0) args(0).toLong else 2000L
     val cores = if (args.length > 1) args(1).toInt else 8
+    val ckptDir = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-demo")
@@ -29,7 +34,12 @@ object PipelineDemo {
     val t0    = System.nanoTime()
     val pages = PageSynth.pages(spark, n).toDF()
     val edges = GraphOps.edgesFromPages(pages)
-    val res   = PageRank.run(spark, edges, PageRankConfig(eps = 1e-8, maxIter = 60))
+    val ckpt = ckptDir
+      .map(d => new graft.ckpt.IcebergLikeStore(spark, d).rankCheckpointer())
+      .getOrElse(PageRank.NoopCheckpointer)
+    ckpt.latest().foreach { case (it, _, _) =>
+      println(s"== resuming from durable snapshot at superstep $it ==") }
+    val res   = PageRank.run(spark, edges, PageRankConfig(eps = 1e-8, maxIter = 60), ckpt)
     val urls  = GraphOps.vertexUrls(pages)
     println(f"== PageRank converged in ${res.iterations} iters, final L1=${res.metrics.last.l1}%.3e ==")
     println("top 10 pages by rank:")

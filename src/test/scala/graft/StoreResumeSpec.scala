@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.ckpt.IcebergLikeStore
+import graft.graph._
+import graft.sources.PageSynth
+
+/**
+ * M1 acceptance (SURVEY.md §7.1): snapshot commit atomicity/lineage and
+ * mid-iteration resume — an interrupted PageRank run continued from its last
+ * durable checkpoint converges to the same ranks as an uninterrupted run
+ * (allclose 1e-12; bitwise equality is NOT asserted because parallel
+ * floating-point summation order is not deterministic across runs).
+ */
+class StoreResumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot commit + lineage + time travel") {
+    val root  = Files.createTempDirectory("graft-store").toString
+    val store = new IcebergLikeStore(spark, root)
+    store.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.commit("t", Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v"))
+    val hist = store.history("t")
+    assert(hist.map(_.snapshotId) == Seq(1L, 0L))
+    assert(hist.head.parentId == 0L && hist.last.parentId == -1L)
+    assert(store.read("t").count() == 3)
+    assert(store.read("t", Some(0L)).count() == 2) // time travel
+    assert(hist.head.files.nonEmpty)
+  }
+
+  test("PageRank resumes mid-iteration from durable checkpoint") {
+    val root  = Files.createTempDirectory("graft-resume").toString
+    val store = new IcebergLikeStore(spark, root)
+    val pages = PageSynth.pages(spark, 300).toDF()
+    val edges = GraphOps.edgesFromPages(pages).persist()
+    val cfg   = PageRankConfig(eps = 1e-9, maxIter = 40, numPartitions = 4, ckptEvery = 4)
+
+    // uninterrupted run
+    val full = PageRank.run(spark, edges, cfg)
+
+    // interrupted at iter 10, then resumed with the same store
+    val part = PageRank.run(spark, edges, cfg.copy(maxIter = 10),
+      store.rankCheckpointer("ranks"))
+    assert(part.iterations == 10)
+    val snap = store.currentSnapshot("ranks").get
+    assert(snap.iter == 9 && snap.metrics.length == 10) // last completed superstep
+    val resumed = PageRank.run(spark, edges, cfg, store.rankCheckpointer("ranks"))
+
+    assert(resumed.iterations == full.iterations,
+      s"resumed=${resumed.iterations} full=${full.iterations}")
+    val f = full.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val g = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f.keySet == g.keySet)
+    f.foreach { case (k, v) => assert(math.abs(g(k) - v) < 1e-12, s"vid=$k") }
+    // metrics history covers every superstep exactly once
+    assert(resumed.metrics.map(_.iter) == (0 until resumed.iterations))
+    edges.unpersist()
+  }
+}

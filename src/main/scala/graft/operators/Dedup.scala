@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, and exact n-gram Jaccard on LSH candidates.
+ *
+ * Scale design: signatures are computed per-row with pure Catalyst
+ * higher-order functions (no UDF, no shuffle); the only shuffles are the
+ * LSH band-bucket self-join (hash on (band, bucket) — bounded fan-out since
+ * a bucket holds only colliding docs) and the final groupBys. Candidate
+ * verification touches only LSH-colliding pairs, never the n² cross join.
+ */
+object Dedup {
+
+  // ---- shingling ------------------------------------------------------------
+
+  /** k-token shingles of single-space text, distinct, as xxhash64 values. */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    val nsh  = greatest(size(toks) - lit(k - 1), lit(1))
+    transform(
+      array_distinct(
+        transform(sequence(lit(0), nsh - 1),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      s => xxhash64(s))
+  }
+
+  // ---- exact dedup ----------------------------------------------------------
+
+  /** Exact dedup groups: content hash → group size + canonical keeper (min id). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+
+  // ---- MinHash + LSH --------------------------------------------------------
+
+  /**
+   * MinHash signature: numHashes independent permutations approximated by
+   * h_i(x) = xxhash64(x, i); signature[i] = min over shingles. Computed
+   * entirely inside one projection (transform + array_min) — zero shuffle.
+   */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** (id, band, bucket) — LSH banding of a minhash signature array column. */
+  def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
+                 bands: Int, rows: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col(sigCol), b * rows + 1, lit(rows))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /**
+   * Candidate near-duplicate pairs (a < b) from MinHash-LSH banding:
+   * docs sharing any band bucket. `bands`×`rows` must equal the signature
+   * length; with 16×4 over 64 hashes the collision threshold sits near
+   * Jaccard ≈ (1/16)^(1/4) ≈ 0.5.
+   */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol), col(textCol))
+      .withColumn("sig", minhashSignature(shingleHashes(col(textCol)), numHashes))
+    val bk = lshBuckets(sigs, idCol, "sig", bands, rows)
+    bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard for given candidate pairs (a, b): explode shingle
+   * sets, count intersections with one equi-join + groupBy. Returns pairs
+   * with jaccard — filter at the caller's threshold.
+   */
+  def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
+                          idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), k)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.as("sa"), col("a") === col("sa.id"))
+      .join(sh.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    candidates.join(inter, Seq("a", "b"), "left")
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .select(col("a"), col("b"),
+        (coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Near-duplicate pairs: MinHash-LSH candidates verified by exact Jaccard ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol)
+    jaccardOnCandidates(docs, cand, idCol, textCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash --------------------------------------------------------------
+
+  /**
+   * 64-bit SimHash of the shingle set: per-bit vote (+1/−1 per shingle hash
+   * bit), sign → bit. Pure Catalyst via higher-order functions;
+   * `call_function("shiftright", …)` is used because the Scala wrapper only
+   * accepts a literal shift amount.
+   */
+  def simhash(shingles: Column): Column = {
+    def bitsOf(h: Column): Column =
+      transform(sequence(lit(0), lit(63)),
+        i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+    val votes = aggregate(shingles,
+      array_repeat(lit(0L), 64),
+      (acc, s) => zip_with(acc, bitsOf(xxhash64(s)), (a, b) => a + b))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs within `maxHamming`: candidate generation by
+   * 4-way block rotation (pigeonhole: ≤3 differing bits ⇒ at least one
+   * 16-bit block identical), verified by exact hamming distance.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash(shingleHashes(col(textCol))).as("sig"))
+    val blocks = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sig"), b * lit(16)).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
+    blocks.as("x").join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.sig"), col("y.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+}

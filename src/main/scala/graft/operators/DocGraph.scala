@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+
+/**
+ * Harness-facing deterministic link graph derived from the driver's
+ * `documents.parquet` (FIXTURES.md §5). The derivation uses only
+ * SQL-expressible integer arithmetic so every downstream query has an exact
+ * DuckDB oracle on the same parquet:
+ *
+ *   doc i  →  (i*2654435761 + j*97 + 13) mod n      for j in 0..(i mod 7)
+ *   (self-loops removed, duplicates removed)
+ *
+ * `doc_id` is contiguous 0..n-1 in the testdata, so vertex ids are doc ids.
+ */
+object DocGraph {
+
+  def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  def nDocs(spark: SparkSession, sfDir: String): Long =
+    docs(spark, sfDir).count()
+
+  /** The derived edge table (src, dst) — matches the `edges` CTE in oracle SQL. */
+  def edges(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = nDocs(spark, sfDir)
+    docs(spark, sfDir)
+      .select(col("doc_id"))
+      .withColumn("j", explode(sequence(lit(0L), col("doc_id") % lit(7L))))
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") * lit(2654435761L) + col("j") * lit(97L) + lit(13L)) % lit(n)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** SQL prefix defining the same edge table for the DuckDB oracle. */
+  val edgesCte: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT d.doc_id AS src,
+      |         (d.doc_id*2654435761 + f.j*97 + 13) % (SELECT count(*) FROM documents) AS dst
+      |  FROM documents d
+      |  JOIN (SELECT unnest(range(0,7)) AS j) f ON f.j <= d.doc_id % 7
+      |  WHERE d.doc_id <> (d.doc_id*2654435761 + f.j*97 + 13) % (SELECT count(*) FROM documents)
+      |)""".stripMargin
+
+  /** Shared graph CTEs on top of `edges` (undirected set, degrees, vertices). */
+  val graphCtes: String = edgesCte +
+    """,
+      |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges),
+      |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und),
+      |verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges)),
+      |outdeg AS (SELECT src AS vid, count(*) AS c FROM edges GROUP BY src),
+      |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)""".stripMargin
+
+  /**
+   * Exactly k PageRank supersteps (same arithmetic as PageRank.run). Output
+   * is the rank scaled to an integer, `floor(r*1e7 + 0.5 + 1e-6)`: the two
+   * engines compute r identically to ≲1e-11 absolute at this scale, and the
+   * 1e-6 nudge moves the discretization boundary away from the exact .5
+   * points that plain `round` hits when ranks are short decimal fractions —
+   * making the integer comparison robust cross-engine.
+   */
+  def prIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val e   = edges(spark, sfDir)
+    val res = PageRank.run(spark, e,
+      PageRankConfig(eps = 0.0, maxIter = k, ckptEvery = 0))
+    res.ranks.select(col("vid"),
+      floor(col("rank") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"pr${k}e7"))
+  }
+
+  /** Oracle SQL for exactly k PageRank supersteps (k small; CTE per superstep). */
+  def prIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |r0 AS (SELECT vid, CAST(1.0 AS DOUBLE)/nv.n AS r FROM verts CROSS JOIN nv)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |s$i AS (SELECT e.dst AS vid, sum(r${i - 1}.r / o.c) AS s
+        |        FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.vid JOIN outdeg o ON e.src = o.vid
+        |        GROUP BY e.dst),
+        |d$i AS (SELECT CAST(1.0 AS DOUBLE) - sum(s) AS dm FROM s$i),
+        |r$i AS (SELECT v.vid,
+        |               CAST(0.15 AS DOUBLE)/nv.n + CAST(0.85 AS DOUBLE)*d$i.dm/nv.n
+        |                 + CAST(0.85 AS DOUBLE)*coalesce(s$i.s, 0) AS r
+        |        FROM verts v CROSS JOIN nv CROSS JOIN d$i LEFT JOIN s$i ON v.vid = s$i.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, CAST(floor(r*1e7 + 0.500001) AS BIGINT) AS pr${k}e7 FROM r$k")
+    sb.toString
+  }
+
+  /** Exactly k HashMin connected-component supersteps (exact integer labels). */
+  def ccIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val sym = GraphOps.symmetrized(edges(spark, sfDir))
+    var labels = GraphOps.vertices(sym).select(col("vid"), col("vid").as("label"))
+    for (_ <- 1 to k) {
+      val msgs = sym.join(labels, sym("src") === labels("vid"))
+        .select(sym("dst").as("vid"), labels("label"))
+      labels = msgs.union(labels).groupBy("vid").agg(min(col("label")).as("label"))
+    }
+    labels
+  }
+
+  def ccIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(",\nl0 AS (SELECT vid, vid AS label FROM verts)")
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |l$i AS (SELECT vid, min(label) AS label FROM (
+        |          SELECT s.dst AS vid, l${i - 1}.label FROM sym s JOIN l${i - 1} ON s.src = l${i - 1}.vid
+        |          UNION ALL SELECT vid, label FROM l${i - 1}
+        |        ) GROUP BY vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, label FROM l$k")
+    sb.toString
+  }
+
+  /** Engine formula of the PageRank base case is shared with PageRank.run; engine
+    * arithmetic and the oracle SQL agree to <1e-15 per value, pinned by round(,7). */
+}

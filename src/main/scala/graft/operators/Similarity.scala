@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.PageSynth.mix2
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`): brute-force cosine top-k as the exact baseline, and a
+ * random-hyperplane LSH-bucketed variant as the scale path.
+ *
+ * Dot products use `zip_with` + `aggregate` (sequential left-fold — the same
+ * evaluation order as the DuckDB oracle, which keeps cross-engine rankings
+ * stable). No UDFs; everything stays in Catalyst.
+ */
+object Similarity {
+
+  /** Sequential-order dot product of two numeric array columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k cosine neighbors for each query vector (brute force).
+   * `queries` and `corpus` both need (`idCol`, `vecCol`). The corpus side of
+   * the join is broadcast when small; at scale, block the corpus and union —
+   * or use [[lshTopK]]. Self-pairs excluded; rank ties break by neighbor id.
+   */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nn"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("nn"))
+      .select(col("qid"), col("nn"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nn"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nn"), col("rnk"))
+  }
+
+  /** Deterministic random hyperplanes: `planes` rows × `dim` gaussians-ish from splitmix64. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { d =>
+        // map 64-bit hash to (-1, 1) uniform — adequate for sign-LSH
+        (mix2(seed, p.toLong * 100003L + d).toDouble / Long.MaxValue.toDouble)
+      }
+    }
+
+  /** Sign-LSH bucket id (one long) for a vector column under the given planes. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, call_function("shiftleft", lit(1L), lit(i)))
+        .otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /**
+   * LSH-bucketed ANN: vectors are bucketed by hyperplane sign pattern
+   * (`nPlanes` bits); candidates are same-bucket pairs, then exact cosine
+   * top-k within candidates. Recall < 1 by construction — this is the
+   * 100 TB path where the brute-force cross join is infeasible. Multi-probe:
+   * each vector also probes the `nProbe` buckets at Hamming distance 1.
+   */
+  def lshTopK(docs: DataFrame, idCol: String, vecCol: String,
+              k: Int, nPlanes: Int = 12, dim: Int = 64, nProbe: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withB = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("b", signBucket(col("v"), planes))
+    // probe buckets: own bucket + Hamming-1 flips of the first nProbe bits
+    val probes = withB.select(col("id"), col("v"),
+      explode(array(
+        (col("b") +: (0 until math.min(nProbe, nPlanes)).map(i =>
+          col("b").bitwiseXOR(lit(1L << i)))): _*)).as("pb"))
+    val cand = probes.as("q").join(withB.as("c"),
+        col("q.pb") === col("c.b") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("qid"), col("q.v").as("qv"),
+        col("c.id").as("nn"), col("c.v").as("cv"))
+      .dropDuplicates("qid", "nn")
+    val scored = cand.select(col("qid"), col("nn"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nn"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nn"), col("rnk"))
+  }
+}

@@ -92,6 +92,21 @@ object PageSynth {
   }
 
   /**
+   * Directly materialized edge list of the same link graph the html pages
+   * encode (minus the url round-trip) — the bench path for graph-engine
+   * throughput at 10⁶–10⁸ edges without paying html generation+extraction.
+   */
+  def edgeList(spark: SparkSession, n: Long, seed: Long = 42L,
+               nHubs: Int = 4, numPartitions: Int = 0): Dataset[graft.graph.Edge] = {
+    import spark.implicits._
+    val hubs  = hubIds(n, nHubs)
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, parts)
+      .flatMap(id => targets(id, n, seed, hubs).map(t => graft.graph.Edge(id, t)))
+  }
+
+  /**
    * Distributed generator: `spark.range(n)` → one task per partition maps ids
    * to pages. Scales linearly with partitions (no driver materialization) —
    * the 100 TB story is "raise n and numPartitions", nothing else changes.

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.graph.{PageRank, PageRankConfig}
+import graft.sources.PageSynth
+
+/**
+ * Two-cluster-size scaling evidence (BASELINE.json:2,14; sandbox form per the
+ * round driver: same job + same input at two parallelism levels). Run once
+ * per parallelism level in a fresh JVM:
+ *
+ *   sbt "runMain graft.tools.ScalingBench <cores> [nPages] [iters]"
+ *
+ * Prints one JSON line with superstep throughput; efficiency between N and
+ * 4N cores = (rate_4N / rate_N) / 4, recorded in BENCH/BASELINE.md.
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cores  = args(0).toInt
+    val nPages = if (args.length > 1) args(1).toLong else 500000L
+    val iters  = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val edges  = PageSynth.edgeList(spark, nPages, numPartitions = cores)
+    val nEdges = edges.count()
+    PageRank.run(spark, edges.toDF(), PageRankConfig(eps = 0.0, maxIter = 2, ckptEvery = 0, numPartitions = cores))
+    val t0  = System.nanoTime()
+    val res = PageRank.run(spark, edges.toDF(), PageRankConfig(eps = 0.0, maxIter = iters, ckptEvery = 0, numPartitions = cores))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rate = nEdges.toDouble * res.iterations / sec
+    println(s"""{"bench":"pagerank_scaling","cores":$cores,"pages":$nPages,"edges":$nEdges,"supersteps":${res.iterations},"sec":$sec,"edges_per_sec_per_superstep":$rate}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import graft.graph._
+
+/**
+ * Property tests on seeded random graphs against driver-side (plain Scala)
+ * oracles (SURVEY.md §6.3): Σpr = 1 every run, PageRank matches a sequential
+ * reference implementation, CC matches BFS, triangles match brute force.
+ */
+class GraphPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** sequential reference PageRank — independent of the engine code path. */
+  def refPageRank(edges: Seq[(Long, Long)], d: Double = 0.85,
+                  eps: Double = 1e-10, maxIter: Int = 300): Map[Long, Double] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n     = verts.size
+    val out   = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r     = verts.map(_ -> 1.0 / n).toMap
+    var it    = 0
+    var l1    = Double.MaxValue
+    while (l1 >= eps && it < maxIter) {
+      val dm  = verts.filter(v => !out.contains(v)).map(r).sum
+      val acc = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      edges.foreach { case (s, t) => acc(t) += r(s) / out(s) }
+      val nr = verts.map(v => v -> ((1 - d) / n + d * (acc(v) + dm / n))).toMap
+      l1 = verts.map(v => math.abs(nr(v) - r(v))).sum
+      r = nr; it += 1
+    }
+    r
+  }
+
+  def refCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    def add(a: Long, b: Long): Unit = adj.getOrElseUpdate(a, mutable.Set.empty) += b
+    edges.foreach { case (s, t) => add(s, t); add(t, s) }
+    val verts = adj.keys.toSeq.sorted
+    val label = mutable.Map.empty[Long, Long]
+    verts.foreach { v =>
+      if (!label.contains(v)) {
+        val q = mutable.Queue(v); label(v) = v
+        while (q.nonEmpty) {
+          val u = q.dequeue()
+          adj(u).foreach(w => if (!label.contains(w)) { label(w) = v; q.enqueue(w) })
+        }
+      }
+    }
+    label.toMap
+  }
+
+  def refTriangles(edges: Seq[(Long, Long)]): Long = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val set = und.toSet
+    val vs  = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    (for {
+      i <- vs.indices; j <- (i + 1) until vs.size if set((vs(i), vs(j)))
+      k <- (j + 1) until vs.size
+      if set((vs(i), vs(k))) && set((vs(j), vs(k)))
+    } yield 1).size.toLong
+  }
+
+  def randomGraph(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+  }
+
+  for (seed <- Seq(11, 23, 47)) {
+    test(s"random graph seed=$seed: PageRank/CC/triangles match sequential oracles") {
+      val edges = randomGraph(seed, 40, 120)
+      val df    = edges.toDF("src", "dst")
+
+      val res = PageRank.run(spark, df, PageRankConfig(eps = 1e-10, numPartitions = 4))
+      val got = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = refPageRank(edges)
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, "Σpr must be 1")
+      assert(got.keySet == want.keySet)
+      want.foreach { case (v, p) => assert(math.abs(got(v) - p) < 1e-6, s"vid=$v") }
+
+      val gotCc = ConnectedComponents.run(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // HashMin labels are the min id of the component — same as BFS-from-min
+      val wantCc = refCc(edges)
+      val canonical = wantCc.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      assert(gotCc == canonical)
+
+      assert(Triangles.countTriangles(spark, df) == refTriangles(edges))
+    }
+  }
+}

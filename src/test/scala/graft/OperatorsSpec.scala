@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Text analysis, dedup, and similarity operators (training-data pipeline suite). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val multilingual = Seq(
+    (0L, "the cat and the dog went to the house and it is fine", "en"),
+    (1L, "der hund und die katze sind in der stadt und das ist ein haus", "de"),
+    (2L, "el perro y la casa es grande y los gatos que viven", "es"),
+    (3L, "le chat est dans les maisons et une ville est dans le nord", "fr"),
+    (4L, "我的猫是在房子里的它是好的和大的", "zh"))
+
+  test("langId identifies pinned multilingual fixtures") {
+    val got = multilingual.toDF("id", "text", "want")
+      .select($"id", TextOps.langId($"text").as("got"), $"want")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (id, g, w) => assert(g == w, s"doc $id: got $g want $w") }
+  }
+
+  test("tokenCount matches whitespace arithmetic") {
+    val got = Seq((1L, "a b c"), (2L, "single"), (3L, ""))
+      .toDF("id", "text").select($"id", TextOps.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("fingerprint: stable, order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"))
+      .toDF("id", "text").select($"id", TextOps.fingerprint($"text").as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  // planted near-duplicates: same long text with one token changed
+  val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+  val nearDup = base.replace("tok20", "zzz")
+  val distinctText = (1 to 40).map(i => s"other$i").mkString(" ")
+  val dedupDocs = Seq((0L, base), (1L, base), (2L, nearDup), (3L, distinctText))
+
+  test("exact dedup groups") {
+    val g = Dedup.exactGroups(dedupDocs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (n, keeper)
+    assert(g.toSet == Set((2L, 0L), (1L, 2L), (1L, 3L)))
+  }
+
+  test("minhash LSH finds planted near-dups, exact jaccard verifies") {
+    val pairs = Dedup.nearDuplicates(dedupDocs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing: $keys")
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)), s"near-dup pair missing: $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc matched")
+    pairs.find(p => p._1 == 0L && p._2 == 1L).foreach(p => assert(p._3 == 1.0))
+  }
+
+  test("simhash: identical texts share signature; near-dups within small hamming") {
+    val sigs = dedupDocs.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash(Dedup.shingleHashes($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) < 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 16)
+  }
+
+  test("brute-force cosine top-k exact on hand vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)))
+    val df  = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(df.filter($"vec_id" === 0L), df, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.sortBy(_._2).map(_._1).toSeq == Seq(1L, 2L)) // nearest then orthogonal
+  }
+
+  test("LSH ANN finds genuinely-near neighbors (perturbed twins) with high recall") {
+    // planted structure: each vector gets a slightly-perturbed twin at id+1000 —
+    // the twin is the true nearest neighbor; LSH must recover it. (On
+    // uniformly random data top-k neighbors are barely-correlated directions
+    // and ANY bucketing scheme has weak recall — that is not the use case.)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100)
+    val twins = e.select(($"vec_id" + 1000).as("vec_id"),
+      transform($"embedding", x => x + (pmod(xxhash64($"vec_id", x), lit(100)).cast("float") - 50f) / 5000f)
+        .as("embedding"))
+    val all = e.select($"vec_id", $"embedding").unionByName(twins)
+    val got = Similarity.lshTopK(all, "vec_id", "embedding", k = 1, nPlanes = 8, nProbe = 8)
+      .filter($"qid" < 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0L until 100L).count(q => got.get(q).contains(q + 1000))
+    assert(hits >= 85, s"LSH twin recall too low: $hits/100")
+  }
+
+  test("quality score in [0,1] and deterministic") {
+    val q = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextOps.qualityScore($"text").as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+}

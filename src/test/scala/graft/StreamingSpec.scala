@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming surface: stream results must equal the batch plan. */
+class StreamingSpec extends SparkSpec {
+
+  // readStream needs a directory; the testdata table is a single file — link it
+  val path: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("part-0.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming aggregation equals batch computation") {
+    val schema   = EventStream.eventsSchema(spark, path)
+    val streamed = EventStream.windowedCounts(
+      spark.readStream.schema(schema).parquet(path), "1 hour")
+    val got = EventStream.runToMemory(spark, streamed, "win_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val want = spark.read.parquet(path)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("session windows produce per-user sessions with positive event counts") {
+    val schema   = EventStream.eventsSchema(spark, path)
+    val sessions = EventStream.runToMemory(spark,
+      EventStream.sessionized(spark.readStream.schema(schema).parquet(path), "30 minutes"),
+      "sessions")
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.getTimestamp(1).before(r.getTimestamp(0))))
+    assert(rows.forall(_.getLong(3) > 0))
+  }
+}

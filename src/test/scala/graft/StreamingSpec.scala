@@ -20,7 +20,9 @@ class StreamingSpec extends SparkSpec {
     val schema   = EventStream.eventsSchema(spark, path)
     val streamed = EventStream.windowedCounts(
       spark.readStream.schema(schema).parquet(path), "1 hour")
-    val got = EventStream.runToMemory(spark, streamed, "win_counts")
+    // append mode would hold back windows the watermark hasn't passed at
+    // end-of-stream; complete mode emits the full aggregation state
+    val got = EventStream.runToMemory(spark, streamed, "win_counts", outputMode = "complete")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
     val want = spark.read.parquet(path)

@@ -71,6 +71,30 @@ object SparkEntry {
       .groupBy(col("dst").as("vid")).agg(count(lit(1)).as("n_in"))
       .orderBy(desc("n_in"), col("vid")).limit(20)),
 
+    "q_rank_window" -> ((s, d) => {
+      val indeg = DocGraph.edges(s, d)
+        .groupBy(col("dst").as("vid")).agg(count(lit(1)).as("n_in"))
+      val w = Window.orderBy(desc("n_in"), col("vid"))
+      indeg.select(col("vid"), col("n_in"),
+        rank().over(w).cast("long").as("rnk"),
+        ntile(10).over(w).cast("long").as("decile"))
+    }),
+
+    "q_top_docs_per_lang" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(desc("n_chars"), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    }),
+
+    "q_except_nonen" -> ((s, d) =>
+      docs(s, d).select("doc_id")
+        .except(docs(s, d).filter(col("lang") === "en").select("doc_id"))),
+
+    "q_intersect_sources" -> ((s, d) =>
+      docs(s, d).filter(col("lang") === "en").select("source")
+        .intersect(docs(s, d).filter(col("n_chars") > 300).select("source"))),
+
     "q_pr_iter2" -> ((s, d) => DocGraph.prIter(s, d, 2)),
     "q_pr_iter3" -> ((s, d) => DocGraph.prIter(s, d, 3)),
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
@@ -205,6 +229,26 @@ object SparkEntry {
 
     "q_top_indeg" ->
       s"$G SELECT dst AS vid, count(*) AS n_in FROM edges GROUP BY dst ORDER BY n_in DESC, vid LIMIT 20",
+
+    "q_rank_window" ->
+      s"""$G SELECT vid, n_in,
+         |  CAST(rank() OVER (ORDER BY n_in DESC, vid) AS BIGINT) AS rnk,
+         |  CAST(ntile(10) OVER (ORDER BY n_in DESC, vid) AS BIGINT) AS decile
+         |FROM (SELECT dst AS vid, count(*) AS n_in FROM edges GROUP BY dst)""".stripMargin,
+
+    "q_top_docs_per_lang" ->
+      """SELECT doc_id, lang, n_chars, rn FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+
+    "q_except_nonen" ->
+      "SELECT doc_id FROM documents EXCEPT SELECT doc_id FROM documents WHERE lang = 'en'",
+
+    "q_intersect_sources" ->
+      """SELECT source FROM documents WHERE lang = 'en'
+        |INTERSECT SELECT source FROM documents WHERE n_chars > 300""".stripMargin,
 
     "q_pr_iter2" -> DocGraph.prIterSql(2),
     "q_pr_iter3" -> DocGraph.prIterSql(3),

@@ -39,16 +39,18 @@ object ConnectedComponents {
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIter) {
-      val msgs = sym.join(labels, sym("src") === labels("vid"))
+      val msgs = sym.join(labels.hint("shuffle_hash"), sym("src") === labels("vid"))
         .select(sym("dst").as("vid"), labels("label"))
       val next = msgs.union(labels)
         .groupBy("vid").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "vid")
+      changed = next.join(labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "vid")
         .filter(col("label") =!= col("old")).count()
+      GraphOps.freeCheckpoint(labels)
       labels = next
       iter += 1
     }
+    sym.unpersist(false)
     labels
   }
 }

@@ -99,11 +99,28 @@ object GraphOps {
    * the edge table stays put across all ~O(100) supersteps, which is the
    * single biggest shuffle saving in the engine.
    */
-  def partitionForIteration(edges: DataFrame, numPartitions: Int): DataFrame = {
-    val p = edges.repartition(numPartitions, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    p
+  def partitionForIteration(edges: DataFrame, numPartitions: Int,
+                            csrSort: Boolean = true): DataFrame = {
+    val parted = edges.repartition(numPartitions, col("src"))
+    // CSR-style layout (BASELINE.json:6): adjacency runs are contiguous within
+    // each hash partition — the in-partition analogue of CSR row grouping —
+    // so each superstep's probe side streams per-source runs, not random rows.
+    val laid = if (csrSort) parted.sortWithinPartitions("src") else parted
+    laid.persist(StorageLevel.MEMORY_AND_DISK)
   }
+
+  /**
+   * Free the block-store storage of a `localCheckpoint`ed DataFrame. The
+   * ContextCleaner only drops checkpoint blocks after the RDD is GC'd on the
+   * driver — in a tight superstep loop that lags far behind allocation and
+   * shows up as spill/GC spikes, so iterative drivers free the previous
+   * superstep's blocks explicitly.
+   */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** S5 — SNAP-style text edge-list ingest (`src<ws>dst`, `#` comments). */
   def edgeListText(spark: SparkSession, path: String): Dataset[Edge] = {

@@ -45,11 +45,13 @@ object LabelPropagation {
       val next = labels.join(winner, Seq("vid"), "left")
         .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "vid")
+      changed = next.join(labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "vid")
         .filter(col("label") =!= col("old")).count()
+      GraphOps.freeCheckpoint(labels)
       labels = next
       iter += 1
     }
+    sym.unpersist(false)
     labels
   }
 }

@@ -23,7 +23,15 @@ final case class PageRankConfig(
     hubDegreeThreshold: Long = 10000L,
     saltBuckets: Int = 8,
     /** durable checkpoint every k supersteps (resume point); lineage is truncated every superstep regardless. */
-    ckptEvery: Int = 5)
+    ckptEvery: Int = 5,
+    /**
+     * Superstep join strategy (BASELINE.json:6 "broadcast-or-shuffle hash
+     * join"): "auto" broadcasts the rank side while |V| ≤ broadcastMaxRows
+     * and uses a co-partitioned shuffle-hash join beyond that; never SMJ —
+     * sort-merge would re-sort the O(|E|) cached edge side every superstep.
+     */
+    joinStrategy: String = "auto",
+    broadcastMaxRows: Long = 4000000L)
 
 /**
  * Damped power-iteration PageRank (d=0.85, dangling-mass redistribution,
@@ -93,6 +101,10 @@ object PageRank {
       .select("vid").collect().map(_.getLong(0))
 
     val d = cfg.damping
+    val strategy = cfg.joinStrategy match {
+      case "auto" => if (n <= cfg.broadcastMaxRows) "broadcast" else "shuffle_hash"
+      case s      => s
+    }
 
     // --- resume or cold start ---
     val (startIter, ranks0, metrics0) = ckpt.latest() match {
@@ -110,11 +122,13 @@ object PageRank {
       val t0 = System.nanoTime()
 
       // rank ⋈ outDeg: both hash-partitioned on vid → no extra exchange
-      val rankDeg = ranks.join(outDeg, "vid")
+      val outDegJ =
+        if (strategy == "broadcast") broadcast(outDeg) else outDeg.hint("shuffle_hash")
+      val rankDeg = ranks.join(outDegJ, "vid")
         .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
 
       // per-destination partial sums (J1 + A1), hub-salted when needed (J4)
-      val contribs = Salting.contribJoin(e, rankDeg, hubIds, cfg.saltBuckets)
+      val contribs = Salting.contribJoin(e, rankDeg, hubIds, cfg.saltBuckets, strategy)
       val sums = contribs.groupBy("dst").agg(sum(col("w")).as("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -124,7 +138,8 @@ object PageRank {
       val dangling = math.max(0.0, 1.0 - transmitted)
 
       val base = (1.0 - d) / n + d * dangling / n
-      val next = ranks.join(sums, ranks("vid") === sums("dst"), "left")
+      // both sides hash-partitioned on the key — pin SHJ so neither is sorted
+      val next = ranks.join(sums.hint("shuffle_hash"), ranks("vid") === sums("dst"), "left")
         .select(ranks("vid"),
           (lit(base) + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"),
           abs(lit(base) + lit(d) * coalesce(col("s"), lit(0.0)) - ranks("rank")).as("delta"))
@@ -148,6 +163,9 @@ object PageRank {
         } else mat.select("vid", "rank")
 
       sums.unpersist(false)
+      // free the PREVIOUS superstep's checkpoint blocks now that the new
+      // state is materialized — the ContextCleaner is too lazy for a tight loop
+      GraphOps.freeCheckpoint(ranks)
       ranks = newRanks
       iter += 1
     }
@@ -155,6 +173,12 @@ object PageRank {
     // final state is always durably recorded (exact resume point = done)
     if (metrics.nonEmpty && !(cfg.ckptEvery > 0 && iter % cfg.ckptEvery == 0))
       ranks = ckpt.save(iter - 1, ranks, metrics)
+
+    // release per-run caches (edge layout, degrees, vertex set) — the result
+    // ranks are checkpoint-backed and independent of them
+    e.unpersist(false)
+    outDeg.unpersist(false)
+    verts.unpersist(false)
 
     PageRankResult(ranks, metrics, iter)
   }

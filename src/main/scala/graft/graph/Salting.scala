@@ -23,26 +23,43 @@ object Salting {
   /**
    * `edges ⋈ rankDeg on src = vid` → per-edge contribution rows `(dst, w)`.
    * `rankDeg` columns: (vid, w) where w = rank/outDeg.
+   *
+   * `strategy` pins the physical join ("broadcast-or-shuffle hash join",
+   * BASELINE.json:6): "broadcast" for small rank tables (one hash relation,
+   * zero rank shuffle), "shuffle_hash" otherwise (co-partitioned with the
+   * cached edge layout — streams edges, never sorts them). The default SMJ
+   * would re-sort the full O(|E|) edge side every superstep.
    */
-  def contribJoin(edges: DataFrame, rankDeg: DataFrame,
-                  hubIds: Array[Long], saltBuckets: Int): DataFrame = {
-    val plain = edges.join(rankDeg, edges("src") === rankDeg("vid"))
-      .select(edges("dst"), rankDeg("w"))
-    if (hubIds.isEmpty || saltBuckets <= 1) plain
-    else {
+  private def applyStrategy(df: DataFrame, strategy: String): DataFrame =
+    strategy match {
+      case "broadcast"    => broadcast(df)
+      case "shuffle_hash" => df.hint("shuffle_hash")
+      case _              => df
+    }
+
+  def contribJoin(edges: DataFrame, rankDeg0: DataFrame,
+                  hubIds: Array[Long], saltBuckets: Int,
+                  strategy: String = "auto"): DataFrame = {
+    if (hubIds.isEmpty || saltBuckets <= 1) {
+      val rankDeg = applyStrategy(rankDeg0, strategy)
+      edges.join(rankDeg, edges("src") === rankDeg("vid"))
+        .select(edges("dst"), rankDeg("w"))
+    } else {
       val isHub = col("src").isin(hubIds.map(Long.box).toIndexedSeq: _*)
       val hubEdges  = edges.filter(isHub)
         .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltBuckets)).cast("int"))
       val restEdges = edges.filter(!isHub)
 
-      val hubRanks = rankDeg
+      // hub rank rows are a handful — always broadcast the replicated side
+      val hubRanks = broadcast(rankDeg0
         .filter(col("vid").isin(hubIds.map(Long.box).toIndexedSeq: _*))
-        .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+        .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))))
 
       val hubContrib = hubEdges.join(hubRanks,
           hubEdges("src") === hubRanks("vid") && hubEdges("salt") === hubRanks("salt"))
         .select(hubEdges("dst"), hubRanks("w"))
 
+      val rankDeg = applyStrategy(rankDeg0, strategy)
       val restContrib = restEdges.join(rankDeg, restEdges("src") === rankDeg("vid"))
         .select(restEdges("dst"), rankDeg("w"))
 

@@ -96,11 +96,42 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Near-duplicate pairs: MinHash-LSH candidates verified by exact Jaccard ≥ threshold. */
+  /**
+   * Near-duplicate pairs: MinHash-LSH candidates → signature-agreement
+   * estimate pre-filter → exact Jaccard ≥ threshold.
+   *
+   * The pre-filter matters at scale: corpora with a shared vocabulary
+   * produce LSH band collisions for mid-similarity pairs, and running the
+   * exact shingle-intersection join on all of them is O(candidates ×
+   * shingles). The minhash estimate (fraction of agreeing signature slots,
+   * sd ≈ √(j(1−j)/64) ≈ 0.06) is computed per pair with one zip_with —
+   * pairs more than ~2.5σ below the threshold never reach the exact join.
+   */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol)
-    jaccardOnCandidates(docs, cand, idCol, textCol)
+                     threshold: Double = 0.8, numHashes: Int = 64,
+                     bands: Int = 16, estimateMargin: Double = 0.15): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"), col(textCol))
+      .withColumn("sig", minhashSignature(shingleHashes(col(textCol)), numHashes))
+      .select("id", "sig")
+      .persist()
+    val bk = lshBuckets(sigs, "id", "sig", bands, rows)
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val withEst = cand
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("est",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes)
+      .filter(col("est") >= threshold - estimateMargin)
+      .select("a", "b")
+    // sigs stays cached until the action completes (LRU-evicted afterwards)
+    jaccardOnCandidates(docs, withEst, idCol, textCol)
       .filter(col("jaccard") >= threshold)
   }
 

@@ -20,7 +20,7 @@ object ScalingBench {
     val cores  = args(0).toInt
     val nPages = if (args.length > 1) args(1).toLong else 500000L
     val iters  = if (args.length > 2) args(2).toInt else 8
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -28,7 +28,10 @@ object ScalingBench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment knobs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val edges  = PageSynth.edgeList(spark, nPages, numPartitions = cores)
@@ -38,7 +41,13 @@ object ScalingBench {
     val res = PageRank.run(spark, edges.toDF(), PageRankConfig(eps = 0.0, maxIter = iters, ckptEvery = 0, numPartitions = cores))
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = nEdges.toDouble * res.iterations / sec
-    println(s"""{"bench":"pagerank_scaling","cores":$cores,"pages":$nPages,"edges":$nEdges,"supersteps":${res.iterations},"sec":$sec,"edges_per_sec_per_superstep":$rate}""")
+    // median superstep wall = steady-state throughput (first supersteps pay
+    // JIT + shuffle-file warmup; the sustained rate is the scaling signal)
+    val walls  = res.metrics.map(_.wallMs).sorted
+    val medMs  = walls(walls.length / 2)
+    val medRate = nEdges.toDouble / (medMs / 1000.0)
+    System.err.println("per-superstep wallMs: " + res.metrics.map(_.wallMs).mkString(","))
+    println(s"""{"bench":"pagerank_scaling","cores":$cores,"pages":$nPages,"edges":$nEdges,"supersteps":${res.iterations},"sec":$sec,"edges_per_sec_per_superstep":$rate,"median_superstep_ms":$medMs,"median_edges_per_sec":$medRate}""")
     spark.stop()
   }
 }

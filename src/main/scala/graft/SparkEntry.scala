@@ -98,6 +98,7 @@ object SparkEntry {
     "q_pr_iter2" -> ((s, d) => DocGraph.prIter(s, d, 2)),
     "q_pr_iter3" -> ((s, d) => DocGraph.prIter(s, d, 3)),
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
+    "q_lp_iter2" -> ((s, d) => DocGraph.lpIter(s, d, 2)),
 
     "q_triangles" -> ((s, d) =>
       s.range(1).select(
@@ -199,6 +200,16 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)),
 
+    // multimodal plumbing: synth binary media → batched stub decode → stats
+    "q_media_meta" -> ((s, d) => {
+      val meta = graft.operators.Multimodal.decodeMeta(
+        graft.operators.Multimodal.synthMedia(s, 500))
+      meta.toDF().groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("duration_ms")).as("sum_dur"))
+    }),
+
     // extraction pipeline exercised end-to-end on the synthetic crawl
     // (deterministic, self-contained; correctness pinned by HtmlSpec goldens)
     "q_extract_edges" -> ((s, d) => {
@@ -253,6 +264,7 @@ object SparkEntry {
     "q_pr_iter2" -> DocGraph.prIterSql(2),
     "q_pr_iter3" -> DocGraph.prIterSql(3),
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
+    "q_lp_iter2" -> DocGraph.lpIterSql(2),
 
     "q_triangles" ->
       s"""$G SELECT count(*) AS n_triangles

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graft.ColumnShim
+
+/**
+ * Custom Catalyst expressions for signature computation (SURVEY.md §5.3
+ * escape hatch, exercised): the composable higher-order-function forms
+ * (`transform(sequence(…), i -> array_min(transform(shingles, s ->
+ * xxhash64(s, i))))`) are interpreted per lambda invocation — ~6 µs/element,
+ * which at 64 hashes × dozens of shingles × millions of docs dominates the
+ * whole dedup pipeline. These expressions run the same arithmetic as one
+ * compiled per-row loop (Spark's own XXH64 primitive per slot), turning the
+ * per-element interpretation cost into a JIT-hot inner loop.
+ *
+ * Eval is a single tight loop per row (CodegenFallback — the loop body, not
+ * expression dispatch, is the hot path, so generated-code fusion would add
+ * nothing measurable).
+ */
+object HashExprs {
+
+  /** MinHash signature of an array<long> of shingle hashes: out[i] = min_s XXH64(s, seed=i). */
+  case class MinHashSigExpr(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData].toLongArray()
+      val out = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < arr.length) {
+        val s = arr(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = XXH64.hashLong(s, i.toLong)
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+  }
+
+  /** 64-bit SimHash of an array<long> of shingle hashes: per-bit ±1 votes, sign → bit. */
+  case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr   = input.asInstanceOf[ArrayData].toLongArray()
+      val votes = new Array[Int](64)
+      var j = 0
+      while (j < arr.length) {
+        val m = XXH64.hashLong(arr(j), 0x51A7L)
+        var i = 0
+        while (i < 64) {
+          if (((m >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) >= 0) sig |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
+  }
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnShim.column(MinHashSigExpr(ColumnShim.expression(shingles), numHashes))
+
+  def simhash_sig(shingles: Column): Column =
+    ColumnShim.column(SimHashExpr(ColumnShim.expression(shingles)))
+}

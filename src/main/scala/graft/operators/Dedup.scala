@@ -39,12 +39,13 @@ object Dedup {
 
   /**
    * MinHash signature: numHashes independent permutations approximated by
-   * h_i(x) = xxhash64(x, i); signature[i] = min over shingles. Computed
-   * entirely inside one projection (transform + array_min) — zero shuffle.
+   * h_i(x) = XXH64(x, seed=i); signature[i] = min over shingles. Computed
+   * entirely inside one projection by a compiled custom Expression
+   * (graft.functions.HashExprs) — zero shuffle; the equivalent nested
+   * higher-order-function form is interpreted per element and ~50× slower.
    */
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    graft.functions.HashExprs.minhash_sig(shingles, numHashes)
 
   /** (id, band, bucket) — LSH banding of a minhash signature array column. */
   def lshBuckets(docs: DataFrame, idCol: String, sigCol: String,
@@ -109,13 +110,22 @@ object Dedup {
    */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, numHashes: Int = 64,
-                     bands: Int = 16, estimateMargin: Double = 0.15): DataFrame = {
+                     bands: Int = 16, estimateMargin: Double = 0.15,
+                     maxBucketSize: Int = 200): DataFrame = {
     val rows = numHashes / bands
     val sigs = docs.select(col(idCol).as("id"), col(textCol))
       .withColumn("sig", minhashSignature(shingleHashes(col(textCol)), numHashes))
       .select("id", "sig")
       .persist()
-    val bk = lshBuckets(sigs, "id", "sig", bands, rows)
+    val bk0 = lshBuckets(sigs, "id", "sig", bands, rows)
+    // cap bucket size: an oversized bucket is non-discriminative (shared
+    // boilerplate hashing together) and alone costs O(size²) candidate pairs —
+    // the standard web-scale guard against quadratic blowup on one hot bucket
+    val big = bk0.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bucket")
+    val bk = bk0.join(big, Seq("band", "bucket"), "left_anti")
+      .persist()
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -138,24 +148,12 @@ object Dedup {
   // ---- SimHash --------------------------------------------------------------
 
   /**
-   * 64-bit SimHash of the shingle set: per-bit vote (+1/−1 per shingle hash
-   * bit), sign → bit. Pure Catalyst via higher-order functions;
-   * `call_function("shiftright", …)` is used because the Scala wrapper only
-   * accepts a literal shift amount.
+   * 64-bit SimHash of the shingle set: per-bit vote (+1/−1 per mixed shingle
+   * hash bit), sign → bit. Compiled custom Expression (see
+   * graft.functions.HashExprs for why not higher-order functions).
    */
-  def simhash(shingles: Column): Column = {
-    def bitsOf(h: Column): Column =
-      transform(sequence(lit(0), lit(63)),
-        i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-    val votes = aggregate(shingles,
-      array_repeat(lit(0L), 64),
-      (acc, s) => zip_with(acc, bitsOf(xxhash64(s)), (a, b) => a + b))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, b) => a.bitwiseOR(b))
-  }
+  def simhash(shingles: Column): Column =
+    graft.functions.HashExprs.simhash_sig(shingles)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -120,4 +120,38 @@ object DocGraph {
 
   /** Engine formula of the PageRank base case is shared with PageRank.run; engine
     * arithmetic and the oracle SQL agree to <1e-15 per value, pinned by round(,7). */
+
+  /** Exactly k synchronous label-propagation supersteps (LabelPropagation
+    * semantics: most frequent neighbor label, ties → smallest label). */
+  def lpIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val sym = GraphOps.symmetrized(edges(spark, sfDir))
+    var labels = GraphOps.vertices(sym).select(col("vid"), col("vid").as("label"))
+    for (_ <- 1 to k) {
+      val nbr = sym.join(labels, sym("src") === labels("vid"))
+        .select(sym("dst").as("vid"), labels("label"))
+      val freq = nbr.groupBy("vid", "label").agg(count(lit(1)).as("cnt"))
+      val winner = freq.groupBy("vid")
+        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("newLabel"))
+      labels = labels.join(winner, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
+    }
+    labels
+  }
+
+  def lpIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(",\np0 AS (SELECT vid, vid AS label FROM verts)")
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |n$i AS (SELECT s.dst AS vid, p${i - 1}.label FROM sym s JOIN p${i - 1} ON s.src = p${i - 1}.vid),
+        |f$i AS (SELECT vid, label, count(*) AS c FROM n$i GROUP BY vid, label),
+        |w$i AS (SELECT vid, label FROM (
+        |          SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+        |          FROM f$i) WHERE rn = 1),
+        |p$i AS (SELECT p.vid, coalesce(w$i.label, p.label) AS label
+        |        FROM p${i - 1} p LEFT JOIN w$i ON p.vid = w$i.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, label FROM p$k")
+    sb.toString
+  }
 }

@@ -33,7 +33,17 @@ object PipelineDemo {
 
     val t0    = System.nanoTime()
     val pages = PageSynth.pages(spark, n).toDF()
-    val edges = GraphOps.edgesFromPages(pages)
+    val store = ckptDir.map(d => new graft.ckpt.IcebergLikeStore(spark, d))
+    // §4.1 ingest: extract → edge table → atomic snapshot commit, then read
+    // the committed snapshot back (the downstream jobs consume the store's
+    // immutable snapshot, not the live extraction plan)
+    val edges = store match {
+      case Some(st) =>
+        st.commit("edges", GraphOps.edgesFromPages(pages))
+        println(s"== committed edges snapshot ${st.currentSnapshotId("edges").get} ==")
+        st.read("edges")
+      case None => GraphOps.edgesFromPages(pages)
+    }
     val ckpt = ckptDir
       .map(d => new graft.ckpt.IcebergLikeStore(spark, d).rankCheckpointer())
       .getOrElse(PageRank.NoopCheckpointer)

@@ -31,7 +31,10 @@ final case class PageRankConfig(
      * sort-merge would re-sort the O(|E|) cached edge side every superstep.
      */
     joinStrategy: String = "auto",
-    broadcastMaxRows: Long = 4000000L)
+    broadcastMaxRows: Long = 4000000L,
+    /** eager=true runs the truncating checkpoint as its own job before the
+      * closing aggregate (2 jobs/superstep); false folds both into one job. */
+    eagerCheckpoint: Boolean = true)
 
 /**
  * Damped power-iteration PageRank (d=0.85, dangling-mass redistribution,
@@ -106,69 +109,78 @@ object PageRank {
       case s      => s
     }
 
+    // Ranks carry the static nullable out-degree column so each superstep is
+    // ONE Spark job: the closing aggregate computes this iteration's L1 AND
+    // the next iteration's transmitted mass (Σ rank over non-dangling
+    // vertices) in the same pass that materializes the lineage-truncating
+    // checkpoint. No separate dangling action, no persisted sums stage.
+    def withDeg(r: DataFrame): DataFrame =
+      r.join(outDeg, Seq("vid"), "left").select(col("vid"), col("rank"), col("outDeg"))
+
     // --- resume or cold start ---
-    val (startIter, ranks0, metrics0) = ckpt.latest() match {
-      case Some((it, saved, ms)) => (it + 1, saved, ms.toVector)
+    val (startIter, ranksInit, metrics0) = ckpt.latest() match {
+      case Some((it, saved, ms)) => (it + 1, withDeg(saved), ms.toVector)
       case None =>
-        (0, verts.select(col("vid"), lit(1.0 / n).as("rank")).localCheckpoint(true), Vector.empty[IterMetrics])
+        (0, withDeg(verts.select(col("vid"), lit(1.0 / n).as("rank"))), Vector.empty[IterMetrics])
     }
 
-    var ranks   = ranks0
+    var ranks   = ranksInit.localCheckpoint(true)
     var metrics = metrics0
     var iter    = startIter
     var l1      = Double.MaxValue
+    // transmitted mass of the CURRENT ranks (one bootstrap action per run)
+    var transmitted = Option(
+      ranks.filter(col("outDeg").isNotNull).agg(sum(col("rank"))).first().get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
 
     while (l1 >= cfg.eps && iter < cfg.maxIter) {
       val t0 = System.nanoTime()
+      val dangling = math.max(0.0, 1.0 - transmitted)
 
-      // rank ⋈ outDeg: both hash-partitioned on vid → no extra exchange
-      val outDegJ =
-        if (strategy == "broadcast") broadcast(outDeg) else outDeg.hint("shuffle_hash")
-      val rankDeg = ranks.join(outDegJ, "vid")
+      // rank/outDeg weights of transmitting vertices (outDeg column is local)
+      val rankDeg = ranks.filter(col("outDeg").isNotNull)
         .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
 
       // per-destination partial sums (J1 + A1), hub-salted when needed (J4)
       val contribs = Salting.contribJoin(e, rankDeg, hubIds, cfg.saltBuckets, strategy)
       val sums = contribs.groupBy("dst").agg(sum(col("w")).as("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-      // one scalar action: total transmitted mass → dangling mass (see scaladoc)
-      val transmitted = Option(sums.agg(sum(col("s"))).first().get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val dangling = math.max(0.0, 1.0 - transmitted)
 
       val base = (1.0 - d) / n + d * dangling / n
       // both sides hash-partitioned on the key — pin SHJ so neither is sorted
+      val newRank = lit(base) + lit(d) * coalesce(col("s"), lit(0.0))
       val next = ranks.join(sums.hint("shuffle_hash"), ranks("vid") === sums("dst"), "left")
-        .select(ranks("vid"),
-          (lit(base) + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"),
-          abs(lit(base) + lit(d) * coalesce(col("s"), lit(0.0)) - ranks("rank")).as("delta"))
+        .select(ranks("vid"), newRank.as("rank"),
+          abs(newRank - ranks("rank")).as("delta"), ranks("outDeg"))
 
-      // truncate lineage; durable checkpoint on schedule (resume point)
+      // lazy checkpoint: the closing aggregate below materializes it —
+      // exactly one job per superstep
       val durable = cfg.ckptEvery > 0 && (iter + 1) % cfg.ckptEvery == 0
       val mat =
         if (durable) next.persist(StorageLevel.MEMORY_AND_DISK)
-        else next.localCheckpoint(true)
-      val row = mat.agg(sum(col("delta")), sum(col("rank"))).first()
+        else next.localCheckpoint(cfg.eagerCheckpoint)
+      val row = mat.agg(sum(col("delta")), sum(col("rank")),
+        sum(when(col("outDeg").isNotNull, col("rank")))).first()
       l1 = row.getDouble(0)
+      transmitted = Option(row.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0)
 
       val wallMs = (System.nanoTime() - t0) / 1000000
       metrics = metrics :+ IterMetrics(iter, l1, dangling, edgeCount, wallMs)
 
       val newRanks =
         if (durable) {
-          val r = ckpt.save(iter, mat.select("vid", "rank"), metrics)
+          val r = withDeg(ckpt.save(iter, mat.select("vid", "rank"), metrics)).localCheckpoint(true)
           mat.unpersist(false)
           r
-        } else mat.select("vid", "rank")
+        } else mat.select("vid", "rank", "outDeg")
 
-      sums.unpersist(false)
       // free the PREVIOUS superstep's checkpoint blocks now that the new
       // state is materialized — the ContextCleaner is too lazy for a tight loop
       GraphOps.freeCheckpoint(ranks)
       ranks = newRanks
       iter += 1
     }
+    val finalRanks = ranks.select("vid", "rank")
+    ranks = finalRanks
 
     // final state is always durably recorded (exact resume point = done)
     if (metrics.nonEmpty && !(cfg.ckptEvery > 0 && iter % cfg.ckptEvery == 0))

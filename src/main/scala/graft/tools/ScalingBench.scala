@@ -34,11 +34,14 @@ object ScalingBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val strategy = sys.env.getOrElse("SPARK_GRAFT_JOIN", "auto")
+    val cfg = PageRankConfig(eps = 0.0, maxIter = iters, ckptEvery = 0,
+      numPartitions = cores, joinStrategy = strategy)
     val edges  = PageSynth.edgeList(spark, nPages, numPartitions = cores)
     val nEdges = edges.count()
-    PageRank.run(spark, edges.toDF(), PageRankConfig(eps = 0.0, maxIter = 2, ckptEvery = 0, numPartitions = cores))
+    PageRank.run(spark, edges.toDF(), cfg.copy(maxIter = 2))
     val t0  = System.nanoTime()
-    val res = PageRank.run(spark, edges.toDF(), PageRankConfig(eps = 0.0, maxIter = iters, ckptEvery = 0, numPartitions = cores))
+    val res = PageRank.run(spark, edges.toDF(), cfg)
     val sec = (System.nanoTime() - t0) / 1e9
     val rate = nEdges.toDouble * res.iterations / sec
     // median superstep wall = steady-state throughput (first supersteps pay

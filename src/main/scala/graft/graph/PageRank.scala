@@ -31,7 +31,7 @@ final case class PageRankConfig(
      * sort-merge would re-sort the O(|E|) cached edge side every superstep.
      */
     joinStrategy: String = "auto",
-    broadcastMaxRows: Long = 4000000L,
+    broadcastMaxRows: Long = 500000L,
     /** eager=true runs the truncating checkpoint as its own job before the
       * closing aggregate (2 jobs/superstep); false folds both into one job. */
     eagerCheckpoint: Boolean = true)

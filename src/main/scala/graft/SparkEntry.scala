@@ -173,7 +173,7 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("n_tokens"))),
 
     "q_quality_score" -> ((s, d) => docs(s, d)
-      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
+      .select(col("doc_id"), TextOps.qualityScorePpm(col("text")).as("quality_ppm"))),
 
     "q_langid" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
@@ -188,8 +188,27 @@ object SparkEntry {
       Dedup.nearDuplicates(docs(s, d), "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // maxHamming=3 ⇒ 4 disjoint 16-bit blocks ⇒ pigeonhole-COMPLETE recall at
+    // this radius (the parameter and the candidate-generation guarantee agree
+    // by construction — simhashPairs derives blocks = maxHamming + 1)
     "q_neardup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 8)),
+      Dedup.simhashPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // exact n-gram Jaccard over a DETERMINISTIC candidate set (neighbor pairs
+    // (a, a+k), k ∈ 1..3 — |cand| = 3n at every sf) — the one dedup query
+    // whose pairs an ANSI oracle can reproduce end-to-end (shingling,
+    // intersection, and ppm arithmetic all integer-exact)
+    "q_jaccard_pairs" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val cand = dd.select(col("doc_id").as("a"))
+        .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select(col("a"), (col("a") + col("k")).as("b"))
+        .join(dd.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      Dedup.jaccardCounts(dd, cand, "doc_id", "text")
+        .select(col("a"), col("b"),
+          call_function("div", col("inter") * lit(1000000L),
+            col("sza") + col("szb") - col("inter")).as("jaccard_ppm"))
+    }),
 
     "q_ann_cosine" -> ((s, d) => {
       val e = emb(s, d)
@@ -201,19 +220,20 @@ object SparkEntry {
       Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)),
 
     // multimodal plumbing: synth binary media → batched stub decode → stats
+    // (row count tracks the sf under test so the query is scale-responsive)
     "q_media_meta" -> ((s, d) => {
       val meta = graft.operators.Multimodal.decodeMeta(
-        graft.operators.Multimodal.synthMedia(s, 500))
+        graft.operators.Multimodal.synthMedia(s, DocGraph.nDocs(s, d)))
       meta.toDF().groupBy("kind")
         .agg(count(lit(1)).as("n"),
           sum(col("width").cast("long")).as("sum_w"),
           sum(col("duration_ms")).as("sum_dur"))
     }),
 
-    // extraction pipeline exercised end-to-end on the synthetic crawl
-    // (deterministic, self-contained; correctness pinned by HtmlSpec goldens)
+    // extraction pipeline exercised end-to-end on the synthetic crawl, sized
+    // by the sf under test (deterministic; correctness pinned by HtmlSpec)
     "q_extract_edges" -> ((s, d) => {
-      val pages = graft.sources.PageSynth.pages(s, 500).toDF()
+      val pages = graft.sources.PageSynth.pages(s, DocGraph.nDocs(s, d)).toDF()
       GraphOps.edgesFromPages(pages)
         .groupBy((col("src") % 16).as("bucket16")).agg(count(lit(1)).as("n_edges"))
     })
@@ -321,6 +341,40 @@ object SparkEntry {
         |  CASE WHEN length(text) = 0 THEN 0
         |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
         |FROM documents""".stripMargin,
+
+    // generated from the same langMarkers / weight tables as the Spark
+    // expressions — one source of truth feeding both engines
+    "q_quality_score" ->
+      s"SELECT doc_id, ${TextOps.qualityScorePpmSql("text")} AS quality_ppm FROM documents",
+
+    "q_langid" ->
+      s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
+
+    // exact shingle-set Jaccard over the deterministic mod-997 candidate set;
+    // DuckDB re-derives the 3-token shingle sets from the raw strings (the
+    // Spark side hashes them first — set semantics are identical)
+    "q_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |         FROM documents a
+        |         JOIN (SELECT unnest([1,2,3]) AS k) ks ON true
+        |         JOIN documents b ON b.doc_id = a.doc_id + ks.k),
+        |ix AS (SELECT c.a, c.b, count(*) AS n FROM cand c
+        |       JOIN sh sa ON sa.doc_id = c.a
+        |       JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+        |       GROUP BY c.a, c.b)
+        |SELECT c.a, c.b,
+        |  CAST((coalesce(ix.n,0)*1000000) // (za.n + zb.n - coalesce(ix.n,0)) AS BIGINT) AS jaccard_ppm
+        |FROM cand c
+        |LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
+        |JOIN sz za ON za.doc_id = c.a
+        |JOIN sz zb ON zb.doc_id = c.b""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT qid, nn, rnk FROM (

@@ -17,8 +17,9 @@ final case class SnapshotMeta(
     table: String,
     dataDir: String,
     files: Seq[String],
+    fileBytes: Seq[Long],      // per-file byte sizes, aligned with `files`
     iter: Int,                 // superstep the snapshot belongs to (-1 if n/a)
-    metrics: Seq[IterMetrics], // per-iteration history up to `iter`
+    metrics: Seq[IterMetrics], // per-iteration history up to `iter` (incl. partStats)
     committedAtMs: Long)
 
 /**
@@ -68,7 +69,11 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
     }.takeWhile(_.isDefined).flatten.toSeq
   }
 
-  /** Atomic snapshot commit; returns the new snapshot's metadata. */
+  /** Atomic snapshot commit; returns the new snapshot's metadata.
+    * Single-writer assumption: the ATOMIC_MOVE pointer swap protects readers
+    * from partial states, but two concurrent committers could both compute
+    * the same child id — this store is a per-driver checkpoint log, not a
+    * multi-writer catalog (a real Iceberg catalog adds the CAS there). */
   def commit(table: String, df: DataFrame, iter: Int = -1,
              metrics: Seq[IterMetrics] = Nil): SnapshotMeta = {
     val parent = currentSnapshotId(table).getOrElse(-1L)
@@ -76,10 +81,15 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
     val dataDir = tableDir(table).resolve("data").resolve(s"snap-$id")
     Files.createDirectories(metaDir(table))
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val files = Files.list(dataDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    val meta = SnapshotMeta(id, parent, table, dataDir.toString, files, iter,
-      metrics, System.currentTimeMillis())
+    val files = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    val fileBytes = files.map(f => Files.size(dataDir.resolve(f)))
+    val meta = SnapshotMeta(id, parent, table, dataDir.toString, files, fileBytes,
+      iter, metrics, System.currentTimeMillis())
     mapper.writerWithDefaultPrettyPrinter()
       .writeValue(metaDir(table).resolve(s"snap-$id.json").toFile, meta)
     val tmp = metaDir(table).resolve(s".current.tmp-$id")

@@ -72,9 +72,44 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(child = c)
   }
 
+  /**
+   * Order-sensitive rolling document fingerprint over an array<string> of
+   * tokens: acc' = xxhash64(acc, token), acc₀ = 5381 — bit-identical to the
+   * higher-order-function form `aggregate(toks, 5381L, (a,t) => xxhash64(a,t))`
+   * (Spark's XxHash64 folds each argument with seed 42: long first, then the
+   * token's UTF-8 bytes; null tokens fold only the accumulator, matching
+   * XxHash64's null-skip), but as one compiled per-row loop instead of an
+   * interpreted lambda per element.
+   */
+  case class FingerprintExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n   = arr.numElements()
+      var acc = 5381L
+      var i   = 0
+      while (i < n) {
+        val h = XXH64.hashLong(acc, 42L)
+        acc =
+          if (arr.isNullAt(i)) h
+          else {
+            val t = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+          }
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+    override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
+  }
+
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(shingles), numHashes))
 
   def simhash_sig(shingles: Column): Column =
     ColumnShim.column(SimHashExpr(ColumnShim.expression(shingles)))
+
+  def fingerprint(tokens: Column): Column =
+    ColumnShim.column(FingerprintExpr(ColumnShim.expression(tokens)))
 }

@@ -39,15 +39,21 @@ object ConnectedComponents {
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIter) {
+      // ONE job per superstep: the vertex's own row carries its previous
+      // label in `old` (messages carry null), so min(label)/min(old) in the
+      // same aggregate yields both the new state and the exact change count —
+      // no separate convergence-check join (mirrors PageRank's closing agg).
       val msgs = sym.join(labels.hint("shuffle_hash"), sym("src") === labels("vid"))
-        .select(sym("dst").as("vid"), labels("label"))
-      val next = msgs.union(labels)
-        .groupBy("vid").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "vid")
-        .filter(col("label") =!= col("old")).count()
+        .select(sym("dst").as("vid"), labels("label"),
+          lit(null).cast("long").as("old"))
+      val own = labels.select(col("vid"), col("label"), col("label").as("old"))
+      val next = msgs.unionByName(own)
+        .groupBy("vid").agg(min(col("label")).as("label"), min(col("old")).as("old"))
+      val mat = next.localCheckpoint(false) // materialized by the agg below
+      changed = mat.agg(sum(when(col("label") < col("old"), 1L).otherwise(0L)))
+        .first().getLong(0)
       GraphOps.freeCheckpoint(labels)
-      labels = next
+      labels = mat.select("vid", "label")
       iter += 1
     }
     sym.unpersist(false)

@@ -37,18 +37,27 @@ object LabelPropagation {
     var iter    = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val nbr = sym.join(labels, sym("src") === labels("vid"))
+      // superstep join pinned to shuffle-hash like PageRank/CC: the cached,
+      // src-partitioned edge side must stream, never be re-sorted by an SMJ
+      val nbr = sym.join(labels.hint("shuffle_hash"), sym("src") === labels("vid"))
         .select(sym("dst").as("vid"), labels("label"))
       val freq = nbr.groupBy("vid", "label").agg(count(lit(1)).as("cnt"))
+      // tie-break toward the smallest label via an overflow-free descending
+      // key: ~label is monotone-decreasing over all longs (ANSI-safe, unlike
+      // -label which throws on Long.MinValue)
       val winner = freq.groupBy("vid")
-        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("newLabel"))
-      val next = labels.join(winner, Seq("vid"), "left")
-        .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "vid")
-        .filter(col("label") =!= col("old")).count()
+        .agg(max_by(col("label"),
+          struct(col("cnt"), bitwise_not(col("label")).as("nl"))).as("newLabel"))
+      // ONE job per superstep: carry the previous label through the join and
+      // fold the changed-count into the materializing aggregate
+      val next = labels.join(winner.hint("shuffle_hash"), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"),
+          col("label").as("old"))
+      val mat = next.localCheckpoint(false) // materialized by the agg below
+      changed = mat.agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)))
+        .first().getLong(0)
       GraphOps.freeCheckpoint(labels)
-      labels = next
+      labels = mat.select("vid", "label")
       iter += 1
     }
     sym.unpersist(false)

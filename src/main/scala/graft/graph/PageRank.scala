@@ -4,13 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+/** Per-partition lineage stat for one superstep (rows that landed in each
+  * hash partition of the new rank state — BASELINE.json:6 "per-partition
+  * lineage + iteration metrics"). */
+final case class PartStat(pid: Int, rows: Long)
+
 /** Per-superstep metrics (BASELINE.json:6 — checkpointed with the ranks). */
 final case class IterMetrics(
     iter: Int,
     l1: Double,
     danglingMass: Double,
     edgesProcessed: Long,
-    wallMs: Long)
+    wallMs: Long,
+    partStats: Seq[PartStat])
 
 final case class PageRankResult(ranks: DataFrame, metrics: Seq[IterMetrics], iterations: Int)
 
@@ -19,8 +25,11 @@ final case class PageRankConfig(
     eps: Double = 1e-9,
     maxIter: Int = 200,
     numPartitions: Int = 0,          // 0 → spark.sql.shuffle.partitions
-    /** out-degree above which a source vertex is treated as a hub and salted (J4). */
-    hubDegreeThreshold: Long = 10000L,
+    /** out-degree above which a source vertex is treated as a hub and salted
+      * (J4). 0 → derived from the run's own degree stats (A8):
+      * max(1024, |E| / (2·partitions)) — a key holding more than half an
+      * average partition's edges is a genuine single-task skew source. */
+    hubDegreeThreshold: Long = 0L,
     saltBuckets: Int = 8,
     /** durable checkpoint every k supersteps (resume point); lineage is truncated every superstep regardless. */
     ckptEvery: Int = 5,
@@ -33,8 +42,10 @@ final case class PageRankConfig(
     joinStrategy: String = "auto",
     broadcastMaxRows: Long = 500000L,
     /** eager=true runs the truncating checkpoint as its own job before the
-      * closing aggregate (2 jobs/superstep); false folds both into one job. */
-    eagerCheckpoint: Boolean = true)
+      * closing aggregate (2 jobs/superstep); the default false folds both
+      * into ONE job per superstep (the closing aggregate materializes the
+      * lazy checkpoint) — safe because the plan is deterministic. */
+    eagerCheckpoint: Boolean = false)
 
 /**
  * Damped power-iteration PageRank (d=0.85, dangling-mass redistribution,
@@ -98,10 +109,14 @@ object PageRank {
     val n = verts.count()
     require(n > 0, "empty graph")
 
-    // hub sources for salting — tiny by construction (hubs are rare), safe to collect
-    val hubIds: Array[Long] = outDeg
-      .filter(col("outDeg") > cfg.hubDegreeThreshold)
-      .select("vid").collect().map(_.getLong(0))
+    // hub sources for salting: threshold from the run's own degree stats when
+    // not pinned (SURVEY.md §5.2); membership stays distributed as a DataFrame
+    // (broadcast semi-joined per superstep — never a collected literal list)
+    val hubThreshold =
+      if (cfg.hubDegreeThreshold > 0) cfg.hubDegreeThreshold
+      else math.max(1024L, edgeCount / (2L * parts))
+    val hubs = outDeg.filter(col("outDeg") > hubThreshold).select("vid")
+    val hubCount = hubs.count() // outDeg is cached — one cheap scan
 
     val d = cfg.damping
     val strategy = cfg.joinStrategy match {
@@ -142,7 +157,7 @@ object PageRank {
         .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
 
       // per-destination partial sums (J1 + A1), hub-salted when needed (J4)
-      val contribs = Salting.contribJoin(e, rankDeg, hubIds, cfg.saltBuckets, strategy)
+      val contribs = Salting.contribJoin(e, rankDeg, hubs, hubCount, cfg.saltBuckets, strategy)
       val sums = contribs.groupBy("dst").agg(sum(col("w")).as("s"))
 
       val base = (1.0 - d) / n + d * dangling / n
@@ -158,13 +173,20 @@ object PageRank {
       val mat =
         if (durable) next.persist(StorageLevel.MEMORY_AND_DISK)
         else next.localCheckpoint(cfg.eagerCheckpoint)
-      val row = mat.agg(sum(col("delta")), sum(col("rank")),
-        sum(when(col("outDeg").isNotNull, col("rank")))).first()
-      l1 = row.getDouble(0)
-      transmitted = Option(row.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      // ONE closing job per superstep: grouped by physical partition it yields
+      // the per-partition lineage stats (row counts) AND the global L1 +
+      // transmitted-mass sums (driver folds ≤`parts` partials), while
+      // materializing the lazily-checkpointed new rank state in the same pass.
+      val prows = mat.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("rows"), sum(col("delta")).as("d"),
+          sum(when(col("outDeg").isNotNull, col("rank"))).as("t"))
+        .collect()
+      l1 = prows.iterator.map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2)).sum
+      transmitted = prows.iterator.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
+      val partStats = prows.map(r => PartStat(r.getInt(0), r.getLong(1))).sortBy(_.pid).toSeq
 
       val wallMs = (System.nanoTime() - t0) / 1000000
-      metrics = metrics :+ IterMetrics(iter, l1, dangling, edgeCount, wallMs)
+      metrics = metrics :+ IterMetrics(iter, l1, dangling, edgeCount, wallMs, partStats)
 
       val newRanks =
         if (durable) {

@@ -14,15 +14,21 @@ import org.apache.spark.sql.functions._
  * column, hub edges pick a deterministic salt from `xxhash64(dst)`, and the
  * join key becomes `(vid, salt)` — spreading one hot key over S tasks.
  *
- * Only hub keys are salted; the (vastly larger) non-hub edge set takes the
- * plain co-partitioned join with zero overhead. Salt values derive from
- * `xxhash64`, never `rand()` (determinism rule, SURVEY.md §7.4).
+ * Hub membership travels as a broadcast DataFrame semi-join, never as a
+ * collected `isin` literal: a heavy-tailed 10¹²-vertex graph can put 10⁵–10⁶
+ * vertices over any degree threshold, and a multi-megabyte literal predicate
+ * serialized into every task is exactly the driver bottleneck the broadcast
+ * avoids. Only hub keys are salted; the (vastly larger) non-hub edge set
+ * takes the plain co-partitioned join with zero overhead. Salt values derive
+ * from `xxhash64`, never `rand()` (determinism rule, SURVEY.md §7.4).
  */
 object Salting {
 
   /**
    * `edges ⋈ rankDeg on src = vid` → per-edge contribution rows `(dst, w)`.
-   * `rankDeg` columns: (vid, w) where w = rank/outDeg.
+   * `rankDeg` columns: (vid, w) where w = rank/outDeg. `hubs` columns: (vid)
+   * — the hub vertex set; `hubCount` is its (caller-materialized) size so the
+   * zero-hub fast path costs nothing.
    *
    * `strategy` pins the physical join ("broadcast-or-shuffle hash join",
    * BASELINE.json:6): "broadcast" for small rank tables (one hash relation,
@@ -38,22 +44,22 @@ object Salting {
     }
 
   def contribJoin(edges: DataFrame, rankDeg0: DataFrame,
-                  hubIds: Array[Long], saltBuckets: Int,
+                  hubs: DataFrame, hubCount: Long, saltBuckets: Int,
                   strategy: String = "auto"): DataFrame = {
-    if (hubIds.isEmpty || saltBuckets <= 1) {
+    if (hubCount == 0 || saltBuckets <= 1) {
       val rankDeg = applyStrategy(rankDeg0, strategy)
       edges.join(rankDeg, edges("src") === rankDeg("vid"))
         .select(edges("dst"), rankDeg("w"))
     } else {
-      val isHub = col("src").isin(hubIds.map(Long.box).toIndexedSeq: _*)
-      val hubEdges  = edges.filter(isHub)
+      val h = broadcast(hubs.select(col("vid").as("hub")))
+      val hubEdges = edges.join(h, edges("src") === h("hub"), "left_semi")
         .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltBuckets)).cast("int"))
-      val restEdges = edges.filter(!isHub)
+      val restEdges = edges.join(h, edges("src") === h("hub"), "left_anti")
 
-      // hub rank rows are a handful — always broadcast the replicated side
-      val hubRanks = broadcast(rankDeg0
-        .filter(col("vid").isin(hubIds.map(Long.box).toIndexedSeq: _*))
-        .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))))
+      // hub rank rows are few relative to |V| — broadcast the replicated side
+      val hubRanks = broadcast(
+        rankDeg0.join(h, rankDeg0("vid") === h("hub"), "left_semi")
+          .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))))
 
       val hubContrib = hubEdges.join(hubRanks,
           hubEdges("src") === hubRanks("vid") && hubEdges("salt") === hubRanks("salt"))

@@ -39,24 +39,38 @@ object Triangles {
         .otherwise(col("a")).as("v"))
   }
 
-  /** All triangles as vertex triples (x, y, z) — one row per triangle. */
-  def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val eo = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+  /** Triangle plan over an (ideally persisted) oriented edge set. */
+  private def trianglesFrom(eo: DataFrame): DataFrame = {
     val e1 = eo.select(col("u").as("x"), col("v").as("y"))
     val e2 = eo.select(col("u").as("y2"), col("v").as("z"))
     val wedges = e1.join(e2, col("y") === col("y2")).select(col("x"), col("y"), col("z"))
     wedges.join(eo, wedges("x") === eo("u") && wedges("z") === eo("v"), "left_semi")
   }
 
-  def countTriangles(spark: SparkSession, edges: DataFrame): Long =
-    triangles(spark, edges).count()
+  /** All triangles as vertex triples (x, y, z) — one row per triangle.
+    * NOTE: the oriented edge set is recomputed per reference here; the
+    * terminal-action entry points below persist it for their action's
+    * lifetime and release it after (no session-lifetime cache leak). */
+  def triangles(spark: SparkSession, edges: DataFrame): DataFrame =
+    trianglesFrom(oriented(edges))
 
-  /** Per-vertex triangle participation counts. */
+  def countTriangles(spark: SparkSession, edges: DataFrame): Long = {
+    val eo = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    try trianglesFrom(eo).count()
+    finally eo.unpersist(false)
+  }
+
+  /** Per-vertex triangle participation counts (materialized — the oriented
+    * edge cache is held only while the underlying action runs). */
   def perVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val t = triangles(spark, edges)
-    t.select(col("x").as("vid"))
+    val eo = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val t = trianglesFrom(eo)
+    val res = t.select(col("x").as("vid"))
       .union(t.select(col("y").as("vid")))
       .union(t.select(col("z").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("triangles"))
+      .localCheckpoint(true)
+    eo.unpersist(false)
+    res
   }
 }

@@ -75,27 +75,40 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard for given candidate pairs (a, b): explode shingle
-   * sets, count intersections with one equi-join + groupBy. Returns pairs
-   * with jaccard — filter at the caller's threshold.
+   * Exact n-gram intersection/size counts for given candidate pairs (a, b):
+   * semi-join the corpus down to ids that appear in any candidate, THEN
+   * explode shingle sets and count intersections with one equi-join +
+   * groupBy. The semi-join is the scale guard: candidates are typically a
+   * tiny fraction of the corpus, so the O(docs × shingles) explode must
+   * never run corpus-wide. Returns (a, b, inter, sza, szb).
    */
-  def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
-                          idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), k)).as("s"))
+  def jaccardCounts(docs: DataFrame, candidates: DataFrame,
+                    idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val candIds = candidates.select(col("a").as("cid"))
+      .union(candidates.select(col("b").as("cid")))
+      .distinct()
+    val cdocs = docs.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, col("id") === col("cid"), "left_semi")
+    val sh = cdocs.select(col("id"), explode(shingleHashes(col(textCol), k)).as("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))
       .join(sh.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
     candidates.join(inter, Seq("a", "b"), "left")
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
       .select(col("a"), col("b"),
-        (coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).cast("double"))
-          .as("jaccard"))
+        coalesce(col("n_inter"), lit(0L)).as("inter"), col("sza"), col("szb"))
   }
+
+  /** Exact n-gram Jaccard for candidate pairs (a, b) — see [[jaccardCounts]]. */
+  def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
+                          idCol: String, textCol: String, k: Int = 3): DataFrame =
+    jaccardCounts(docs, candidates, idCol, textCol, k)
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
 
   /**
    * Near-duplicate pairs: MinHash-LSH candidates → signature-agreement
@@ -140,7 +153,12 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est") >= threshold - estimateMargin)
       .select("a", "b")
-    // sigs stays cached until the action completes (LRU-evicted afterwards)
+      // materialize the (small) surviving candidate set NOW so the signature
+      // and bucket caches can be released before the exact-verify join runs —
+      // a narrow persist lifetime instead of leaking blocks into the session
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    bk.unpersist(false)
     jaccardOnCandidates(docs, withEst, idCol, textCol)
       .filter(col("jaccard") >= threshold)
   }
@@ -159,17 +177,40 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * SimHash near-dup pairs within `maxHamming`: candidate generation by
-   * 4-way block rotation (pigeonhole: ≤3 differing bits ⇒ at least one
-   * 16-bit block identical), verified by exact hamming distance.
+   * SimHash near-dup pairs within `maxHamming`, with a COMPLETE recall
+   * guarantee: the 64-bit signature is split into `maxHamming + 1` disjoint
+   * blocks, so by pigeonhole any pair differing in ≤ maxHamming bits shares
+   * at least one identical block — candidate generation misses nothing.
+   * Candidates are verified by exact hamming distance.
+   *
+   * Scale trade-off: more blocks ⇒ narrower blocks ⇒ bigger buckets ⇒ more
+   * candidate pairs (bucket size grows ~2^(64/blocks) slower than the corpus).
+   * maxHamming ≤ 7 keeps blocks ≥ 8 bits, which stays discriminative at
+   * web scale; beyond that use multi-block combinations (Manku et al.,
+   * WWW 2007) — out of scope here, enforced by the require below.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming outside the single-block pigeonhole range [0,7]")
+    val nBlocks = maxHamming + 1
     val sigs = docs.select(col(idCol).as("id"),
       simhash(shingleHashes(col(textCol))).as("sig"))
-    val blocks = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("sig"), b * lit(16)).bitwiseAND(lit(0xFFFFL)))))
+    // nBlocks disjoint bit ranges covering all 64 bits (first `rem` blocks
+    // get one extra bit); each block value is (sig >> off) & mask
+    val base = 64 / nBlocks
+    val rem  = 64 % nBlocks
+    val blockVals: Seq[Column] = {
+      var off = 0
+      (0 until nBlocks).map { b =>
+        val w = base + (if (b < rem) 1 else 0)
+        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        val v = call_function("shiftright", col("sig"), lit(off)).bitwiseAND(lit(mask))
+        off += w
+        v
+      }
+    }
+    val blocks = sigs.select(col("id"), col("sig"), posexplode(array(blockVals: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&

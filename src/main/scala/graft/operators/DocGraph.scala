@@ -131,7 +131,8 @@ object DocGraph {
         .select(sym("dst").as("vid"), labels("label"))
       val freq = nbr.groupBy("vid", "label").agg(count(lit(1)).as("cnt"))
       val winner = freq.groupBy("vid")
-        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl"))).as("newLabel"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), bitwise_not(col("label")).as("nl"))).as("newLabel"))
       labels = labels.join(winner, Seq("vid"), "left")
         .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"))
     }

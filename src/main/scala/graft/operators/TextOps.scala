@@ -32,18 +32,37 @@ object TextOps {
   def occurrences(text: Column, needle: String): Column =
     ((length(text) - length(replace(text, lit(needle), lit("")))) / lit(needle.length)).cast("long")
 
+  /** ANSI-safe integer division (Catalyst IntegralDivide via the registry —
+    * same truncation semantics as DuckDB `//` on non-negative operands). */
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
   /**
-   * Composite quality score in [0,1] — length, alpha ratio, stopword signal.
-   * The oracled harness query emits the raw integer features; this scalar is
-   * the pipeline-filtering form.
+   * Composite quality score in parts-per-million of [0,1] — length, alpha
+   * ratio, stopword signal, weighted 0.3/0.4/0.3. Pure BIGINT arithmetic so
+   * the DuckDB oracle reproduces it bit-exactly (no float rounding seam):
+   * lenPpm = min(n·2000, 10⁶) (i.e. n/500 capped), alphaPpm = alpha·10⁶ div n,
+   * stopPpm = min(occ("the")·200000, 10⁶) (i.e. occ/5 capped).
    */
-  def qualityScore(text: Column): Column = {
-    val n          = length(text).cast("double")
-    val lenScore   = least(n / lit(500.0), lit(1.0))
-    val alphaScore = when(n > 0, alphaChars(text).cast("double") / n).otherwise(lit(0.0))
-    val stopScore  = least(occurrences(text, "the").cast("double") / lit(5.0), lit(1.0))
-    round(lit(0.3) * lenScore + lit(0.4) * alphaScore + lit(0.3) * stopScore, 6)
+  def qualityScorePpm(text: Column): Column = {
+    val n        = length(text).cast("long")
+    val lenPpm   = least(n * lit(2000L), lit(1000000L))
+    val alphaPpm = when(n > 0, idiv(alphaChars(text) * lit(1000000L), n)).otherwise(lit(0L))
+    val stopPpm  = least(occurrences(text, "the") * lit(200000L), lit(1000000L))
+    idiv(lenPpm * lit(3L) + alphaPpm * lit(4L) + stopPpm * lit(3L), lit(10L))
   }
+
+  /** Matching DuckDB SQL for [[qualityScorePpm]] over a `text` column. */
+  def qualityScorePpmSql(t: String): String =
+    s"""CAST((least(length($t)*2000, 1000000)*3
+       | + (CASE WHEN length($t) > 0
+       |    THEN (length(regexp_replace($t, '[^A-Za-z]', '', 'g'))*1000000) // length($t)
+       |    ELSE 0 END)*4
+       | + least(((length($t) - length(replace($t, 'the', ''))) // 3)*200000, 1000000)*3
+       |) // 10 AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Convenience double form of the quality score (ppm / 1e6). */
+  def qualityScore(text: Column): Column =
+    qualityScorePpm(text).cast("double") / lit(1000000.0)
 
   // --------------------------------------------------------------------------
   // Language identification — marker-word (function-word) profile heuristic.
@@ -70,15 +89,38 @@ object TextOps {
     greatest(ranked: _*).getField("tag")
   }
 
+  /** DuckDB SQL producing [[langId]]'s exact output over a text expression:
+    * per-language marker-hit scores, cascading argmax with ties toward the
+    * earlier tag (generated from the same [[langMarkers]] table — one source
+    * of truth for both engines). */
+  def langIdSql(t: String): String = {
+    val padded = s"(' ' || lower($t) || ' ')"
+    val scores = langMarkers.map { case (tag, markers) =>
+      val s = markers.map { m =>
+        s"(length($padded) - length(replace($padded, '$m', ''))) // ${m.length}"
+      }.mkString(" + ")
+      tag -> s"($s)"
+    }
+    val branches = scores.zipWithIndex.map { case ((tag, _), i) =>
+      val later = scores.drop(i + 1)
+      if (later.isEmpty) s"ELSE '$tag' END"
+      else {
+        val cond = later.map { case (_, sj) => s"${scores(i)._2} >= $sj" }.mkString(" AND ")
+        s"WHEN $cond THEN '$tag'"
+      }
+    }
+    s"CASE ${branches.mkString(" ")}"
+  }
+
   /**
    * 64-bit document fingerprint: order-sensitive rolling hash chain —
-   * acc' = xxhash64(acc, token) folded over the token sequence via the
-   * `aggregate` higher-order function. Content reorderings change the
-   * fingerprint; pure Catalyst, deterministic, overflow-free (ANSI-safe).
+   * acc' = xxhash64(acc, token) folded over the token sequence. Content
+   * reorderings change the fingerprint; deterministic, overflow-free
+   * (xxhash64 chain, ANSI-safe). Computed by a compiled custom Expression
+   * (graft.functions.HashExprs.FingerprintExpr) — bit-identical to the
+   * `aggregate` higher-order-function form but without its per-element
+   * lambda interpretation cost (same fix as the minhash/simhash signatures).
    */
   def fingerprint(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(5381L),
-      (acc, t) => xxhash64(acc, t))
+    graft.functions.HashExprs.fingerprint(tokens(text))
 }

@@ -107,6 +107,31 @@ object PageSynth {
   }
 
   /**
+   * Edge list with genuinely hub-skewed OUT-degree: the base Zipf graph plus
+   * `hubOut` outlinks from each of the `nHubs` hub pages. The base generator's
+   * out-degree is capped at 64, which never crosses any realistic salting
+   * threshold — this variant is the bench/test input that actually exercises
+   * the salted contribution join (J4) against real skew. Deterministic in
+   * `(n, seed, hubOut)`; hub targets are generated distributed (one task per
+   * range partition), never on the driver.
+   */
+  def edgeListWithHubOut(spark: SparkSession, n: Long, hubOut: Int,
+                         seed: Long = 42L, nHubs: Int = 4,
+                         numPartitions: Int = 0): Dataset[graft.graph.Edge] = {
+    import spark.implicits._
+    val hubs  = hubIds(n, nHubs)
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism
+    val hubEdges = spark.range(0, hubOut.toLong, 1, parts).flatMap { j =>
+      hubs.map { h =>
+        val t = (mix2(seed, h * 1000003L + j * 31L + 11L) & Long.MaxValue) % n
+        graft.graph.Edge(h, if (t == h) (t + 1) % n else t)
+      }
+    }
+    edgeList(spark, n, seed, nHubs, numPartitions).union(hubEdges)
+  }
+
+  /**
    * Distributed generator: `spark.range(n)` → one task per partition maps ids
    * to pages. Scales linearly with partitions (no driver materialization) —
    * the 100 TB story is "raise n and numPartitions", nothing else changes.

@@ -19,9 +19,11 @@ class SaltingLayoutSpec extends SparkSpec {
       .join(outDeg, Seq("vid"), "inner")
       .select($"vid", (lit(1.0) / $"outDeg").as("w"))
 
-    val plain  = Salting.contribJoin(edges, rankDeg, Array.empty, 8)
+    val noHubs = Seq.empty[Long].toDF("vid")
+    val hub7   = Seq(7L).toDF("vid")
+    val plain  = Salting.contribJoin(edges, rankDeg, noHubs, 0L, 8)
       .groupBy("dst").agg(sum("w").as("s"))
-    val salted = Salting.contribJoin(edges, rankDeg, Array(7L), 8)
+    val salted = Salting.contribJoin(edges, rankDeg, hub7, 1L, 8)
       .groupBy("dst").agg(sum("w").as("s"))
 
     val p = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

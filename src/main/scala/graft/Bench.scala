@@ -83,10 +83,13 @@ object Bench {
     val nHubE    = hubEdges.count()
     PageRank.run(spark, hubEdges.toDF(), PageRankConfig(eps = 0.0, maxIter = 2, ckptEvery = 0))
     val ts0 = System.nanoTime()
-    PageRank.run(spark, hubEdges.toDF(), PageRankConfig(eps = 0.0, maxIter = 4, ckptEvery = 0))
+    val saltRes = PageRank.run(spark, hubEdges.toDF(),
+      PageRankConfig(eps = 0.0, maxIter = 4, ckptEvery = 0))
     val saltedSec = (System.nanoTime() - ts0) / 1e9
     results("pagerank_salted_bench")         = saltedSec
     results("pagerank_salted_edges_per_sec") = nHubE.toDouble * 4 / saltedSec
+    // proof the salted path was active, not dead code (hub set non-empty)
+    results("pagerank_salted_hub_count")     = saltRes.hubCount.toDouble
     spark.catalog.clearCache()
 
     // ---- per-query sweep ----------------------------------------------------
@@ -100,8 +103,10 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // total is seconds only — rate keys and failure markers are excluded
-    val total = results.collect { case (k, v) if !k.endsWith("_per_sec") && v >= 0 => v }.sum
+    // total is seconds only — rate/count keys and failure markers are excluded
+    val total = results.collect {
+      case (k, v) if !k.endsWith("_per_sec") && !k.endsWith("_count") && v >= 0 => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":"$loadStart","load_end":"${loadavg()}"}""")
     spark.stop()
   }

@@ -10,14 +10,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.graph.{IterMetrics, PageRank}
 
+/** One data file of a snapshot (name + size — the file-level lineage stat).
+  * NOTE: a bare `Seq[Long]` field would lose its element type to erasure in
+  * the Jackson round-trip (ints box as Integer); typed fields on a case class
+  * deserialize exactly, hence this wrapper. */
+final case class FileMeta(name: String, bytes: Long)
+
 /** One committed table snapshot (the unit of lineage / resume). */
 final case class SnapshotMeta(
     snapshotId: Long,
     parentId: Long,            // -1 for the first snapshot
     table: String,
     dataDir: String,
-    files: Seq[String],
-    fileBytes: Seq[Long],      // per-file byte sizes, aligned with `files`
+    files: Seq[FileMeta],
     iter: Int,                 // superstep the snapshot belongs to (-1 if n/a)
     metrics: Seq[IterMetrics], // per-iteration history up to `iter` (incl. partStats)
     committedAtMs: Long)
@@ -87,8 +92,8 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
         .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
       finally s.close()
     }
-    val fileBytes = files.map(f => Files.size(dataDir.resolve(f)))
-    val meta = SnapshotMeta(id, parent, table, dataDir.toString, files, fileBytes,
+    val fileMetas = files.map(f => FileMeta(f, Files.size(dataDir.resolve(f))))
+    val meta = SnapshotMeta(id, parent, table, dataDir.toString, fileMetas,
       iter, metrics, System.currentTimeMillis())
     mapper.writerWithDefaultPrettyPrinter()
       .writeValue(metaDir(table).resolve(s"snap-$id.json").toFile, meta)

@@ -23,7 +23,8 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   def run(spark: SparkSession, edges: DataFrame,
-          numPartitions: Int = 0, maxIter: Int = 100): DataFrame = {
+          numPartitions: Int = 0, maxIter: Int = 100,
+          broadcastMaxRows: Long = 500000L): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -36,6 +37,13 @@ object ConnectedComponents {
       .repartition(parts, col("vid"))
       .localCheckpoint(true)
 
+    // same broadcast-or-shuffle-hash selection as PageRank: broadcast the
+    // O(|V|) label side while it fits, co-partitioned SHJ beyond — never SMJ
+    // (it would re-sort the cached O(|E|) edge side every superstep)
+    val nV = labels.count()
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIter) {
@@ -43,7 +51,7 @@ object ConnectedComponents {
       // label in `old` (messages carry null), so min(label)/min(old) in the
       // same aggregate yields both the new state and the exact change count —
       // no separate convergence-check join (mirrors PageRank's closing agg).
-      val msgs = sym.join(labels.hint("shuffle_hash"), sym("src") === labels("vid"))
+      val msgs = sym.join(pin(labels), sym("src") === labels("vid"))
         .select(sym("dst").as("vid"), labels("label"),
           lit(null).cast("long").as("old"))
       val own = labels.select(col("vid"), col("label"), col("label").as("old"))

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object LabelPropagation {
 
   def run(spark: SparkSession, edges: DataFrame,
-          numPartitions: Int = 0, maxIter: Int = 20): DataFrame = {
+          numPartitions: Int = 0, maxIter: Int = 20,
+          broadcastMaxRows: Long = 500000L): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -34,12 +35,16 @@ object LabelPropagation {
       .repartition(parts, col("vid"))
       .localCheckpoint(true)
 
+    // same broadcast-or-shuffle-hash selection as PageRank/CC: broadcast the
+    // O(|V|) label side while it fits, co-partitioned SHJ beyond — never SMJ
+    val nV = labels.count()
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+
     var iter    = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // superstep join pinned to shuffle-hash like PageRank/CC: the cached,
-      // src-partitioned edge side must stream, never be re-sorted by an SMJ
-      val nbr = sym.join(labels.hint("shuffle_hash"), sym("src") === labels("vid"))
+      val nbr = sym.join(pin(labels), sym("src") === labels("vid"))
         .select(sym("dst").as("vid"), labels("label"))
       val freq = nbr.groupBy("vid", "label").agg(count(lit(1)).as("cnt"))
       // tie-break toward the smallest label via an overflow-free descending
@@ -50,7 +55,7 @@ object LabelPropagation {
           struct(col("cnt"), bitwise_not(col("label")).as("nl"))).as("newLabel"))
       // ONE job per superstep: carry the previous label through the join and
       // fold the changed-count into the materializing aggregate
-      val next = labels.join(winner.hint("shuffle_hash"), Seq("vid"), "left")
+      val next = labels.join(pin(winner), Seq("vid"), "left")
         .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"),
           col("label").as("old"))
       val mat = next.localCheckpoint(false) // materialized by the agg below

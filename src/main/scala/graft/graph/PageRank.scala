@@ -18,7 +18,14 @@ final case class IterMetrics(
     wallMs: Long,
     partStats: Seq[PartStat])
 
-final case class PageRankResult(ranks: DataFrame, metrics: Seq[IterMetrics], iterations: Int)
+final case class PageRankResult(
+    ranks: DataFrame,
+    metrics: Seq[IterMetrics],
+    iterations: Int,
+    /** hub-salting evidence: how many sources crossed the (possibly derived)
+      * out-degree threshold this run — non-zero means the salted join ran. */
+    hubCount: Long = 0L,
+    hubThreshold: Long = 0L)
 
 final case class PageRankConfig(
     damping: Double = 0.85,
@@ -214,6 +221,6 @@ object PageRank {
     outDeg.unpersist(false)
     verts.unpersist(false)
 
-    PageRankResult(ranks, metrics, iter)
+    PageRankResult(ranks, metrics, iter, hubCount, hubThreshold)
   }
 }

@@ -98,6 +98,49 @@ class OperatorsSpec extends SparkSpec {
     assert(hits >= 85, s"LSH twin recall too low: $hits/100")
   }
 
+  test("compiled fingerprint expression is bit-identical to the HOF fold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((100001L, ""), (100002L, "one"), (100003L, "a  b"))
+        .toDF("doc_id", "text"))
+    val hof = aggregate(TextOps.tokens($"text"), lit(5381L), (acc, t) => xxhash64(acc, t))
+    val bad = docs
+      .select(TextOps.fingerprint($"text").as("fast"), hof.as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(bad == 0, s"$bad fingerprint mismatches vs the HOF reference fold")
+  }
+
+  test("simhashPairs recall is COMPLETE at the requested radius (pigeonhole blocks)") {
+    // corpus of mutated variants of one base text — many pairs land at small
+    // hamming distances; ground truth by brute-force over collected signatures
+    val texts = (0 until 60).map { i =>
+      val toks = (1 to 50).map(j => if ((i * 53 + j * 17) % 29 < 2) s"mut${i}_$j" else s"tok$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", Dedup.simhash(Dedup.shingleHashes($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxH <- Seq(3, 5)) {
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxH
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"maxH=$maxH: missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("quality score ppm is exact integer arithmetic (spot values)") {
+    // "the cat sat" → n=11, alpha=9, occ(the)=1
+    // lenPpm=min(22000,1e6)=22000; alphaPpm=9000000/11=818181; stopPpm=200000
+    val got = Seq((1L, "the cat sat"), (2L, ""))
+      .toDF("id", "text").select($"id", TextOps.qualityScorePpm($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == (22000L * 3 + 818181L * 4 + 200000L * 3) / 10)
+    assert(got(2L) == 0L)
+  }
+
   test("quality score in [0,1] and deterministic") {
     val q = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextOps.qualityScore($"text").as("q"))

@@ -44,6 +44,30 @@ class SaltingLayoutSpec extends SparkSpec {
     ra.foreach { case (k, v) => assert(math.abs(rb(k) - v) < 1e-9, s"vid=$k") }
   }
 
+  test("auto hub threshold fires on hub-skewed graph; salted ranks match unsalted") {
+    // 4 hubs × 1500 outlinks on a 2000-page base graph: |E| ≈ 10k, so the
+    // derived threshold max(1024, |E|/(2·parts)) = 1024 < 1500 — the salted
+    // path is genuinely active (verified below), unlike the capped-at-64
+    // base generator where hub detection can never fire
+    val edges = PageSynth.edgeListWithHubOut(spark, 2000, hubOut = 3000).toDF()
+    val maxOut = edges.groupBy("src").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxOut >= 2500, s"hub generator produced maxOut=$maxOut")
+    // parts=8 → derived threshold = max(1024, |E|/16) ≈ 1.4k < hub out-degree
+    val unsalted = PageRank.run(spark, edges,
+      PageRankConfig(eps = 1e-10, maxIter = 30, numPartitions = 8,
+        hubDegreeThreshold = Long.MaxValue, ckptEvery = 0))
+    val salted = PageRank.run(spark, edges,
+      PageRankConfig(eps = 1e-10, maxIter = 30, numPartitions = 8,
+        hubDegreeThreshold = 0, ckptEvery = 0))
+    assert(salted.hubCount > 0,
+      s"auto threshold ${salted.hubThreshold} did not fire (maxOut=$maxOut)")
+    val ra = unsalted.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rb = salted.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ra.keySet == rb.keySet)
+    ra.foreach { case (k, v) => assert(math.abs(rb(k) - v) < 1e-9, s"vid=$k") }
+  }
+
   test("SNAP-style edge-list text ingest skips comments and parses ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft-el")
     java.nio.file.Files.writeString(dir.resolve("g.txt"),

@@ -55,6 +55,34 @@ class StoreResumeSpec extends SparkSpec {
     f.foreach { case (k, v) => assert(math.abs(g(k) - v) < 1e-12, s"vid=$k") }
     // metrics history covers every superstep exactly once
     assert(resumed.metrics.map(_.iter) == (0 until resumed.iterations))
+    // per-partition lineage stats survive the manifest JSON round-trip
+    // (SURVEY §2.2; BASELINE.json:6 "per-partition lineage + iteration metrics")
+    val resumedSnap = store.currentSnapshot("ranks").get
+    assert(resumedSnap.metrics.forall(_.partStats.nonEmpty))
+    val nVerts = full.ranks.count()
+    assert(resumedSnap.metrics.forall(m => m.partStats.map(_.rows).sum == nVerts))
+    assert(resumedSnap.files.nonEmpty && resumedSnap.files.forall(_.bytes > 0))
     edges.unpersist()
+  }
+
+  test("pages live in the store: extraction reads the committed snapshot") {
+    // BASELINE.json:15 input contract — the engine consumes an Iceberg-style
+    // `pages` table, not an in-memory DataFrame: commit the synthetic crawl,
+    // read the snapshot back, extract edges from it, and match the ranks of
+    // the direct (storeless) pipeline.
+    val root  = Files.createTempDirectory("graft-pages").toString
+    val store = new IcebergLikeStore(spark, root)
+    val pages = PageSynth.pages(spark, 300).toDF()
+    store.commit("pages", pages)
+
+    val fromStore = store.read("pages")
+    assert(fromStore.columns.toSet == Set("url", "warc_ts", "html", "text", "lang"))
+    val cfg = PageRankConfig(eps = 1e-9, maxIter = 40, numPartitions = 4, ckptEvery = 0)
+    val viaStore = PageRank.run(spark, GraphOps.edgesFromPages(fromStore), cfg)
+    val direct   = PageRank.run(spark, GraphOps.edgesFromPages(pages), cfg)
+    val a = viaStore.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = direct.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(math.abs(b(k) - v) < 1e-12, s"vid=$k") }
   }
 }

@@ -104,14 +104,20 @@ object SparkEntry {
       s.range(1).select(
         lit(Triangles.countTriangles(s, DocGraph.edges(s, d))).as("n_triangles"))),
 
-    // full iterative runs (exact semantics; verified by golden/property tests —
-    // not ANSI-SQL-expressible, driver records rows-only)
-    "q_pagerank" -> ((s, d) => {
-      val res = PageRank.run(s, DocGraph.edges(s, d),
-        PageRankConfig(eps = 1e-8, maxIter = 60, ckptEvery = 0))
-      res.ranks.select(col("vid"), round(col("rank"), 6).as("pagerank"))
-    }),
+    // full iterative runs, each with an EXACT oracle:
+    //  - q_pagerank: 40 fixed supersteps (converged to ≲1e-7 L1 at these
+    //    scales; the eps-driven variant is exercised by entry() + goldens) —
+    //    the oracle replays the same 40 supersteps in chained CTEs;
+    //  - q_cc: run to convergence; HashMin's fixpoint equals HashMin after
+    //    ≥diameter rounds, so a 64-round CTE chain reproduces it exactly
+    //    (web-graph diameters are ≲20; a mismatch would fail the driver);
+    //  - q_lp: changed==0 is a synchronous fixed point, so the engine's
+    //    early-stopped 10-iteration run equals the oracle's exactly-10.
+    "q_pagerank" -> ((s, d) => DocGraph.prIter(s, d, 40)),
     "q_cc" -> ((s, d) => ConnectedComponents.run(s, DocGraph.edges(s, d))),
+    // alternating large-star/small-star (O(log n) rounds) — same fixpoint,
+    // same oracle as q_cc
+    "q_cc_alt" -> ((s, d) => ConnectedComponents.runAlternating(s, DocGraph.edges(s, d))),
     "q_lp" -> ((s, d) => LabelPropagation.run(s, DocGraph.edges(s, d), maxIter = 10)),
 
     // ---- relational coverage (TPC-H-ish; exact integer-cent arithmetic) ----
@@ -285,6 +291,11 @@ object SparkEntry {
     "q_pr_iter3" -> DocGraph.prIterSql(3),
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
     "q_lp_iter2" -> DocGraph.lpIterSql(2),
+
+    "q_pagerank" -> DocGraph.prIterSql(40),
+    "q_cc"       -> DocGraph.ccIterSql(64),
+    "q_cc_alt"   -> DocGraph.ccIterSql(64),
+    "q_lp"       -> DocGraph.lpIterSql(10),
 
     "q_triangles" ->
       s"""$G SELECT count(*) AS n_triangles

@@ -47,6 +47,7 @@ object ConnectedComponents {
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIter) {
+      // (HashMin superstep)
       // ONE job per superstep: the vertex's own row carries its previous
       // label in `old` (messages carry null), so min(label)/min(old) in the
       // same aggregate yields both the new state and the exact change count —
@@ -65,6 +66,85 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist(false)
+    labels
+  }
+
+  // ---------------------------------------------------------------------------
+  // Alternating large-star / small-star (Kiveris et al., SoCC 2014, Alg. 3):
+  // O(log n) rounds regardless of diameter — the scale-safe variant for
+  // high-diameter graphs where HashMin's rounds = diameter is the bottleneck.
+  // Maintains a parent-pointer edge set that contracts into star forests.
+  // ---------------------------------------------------------------------------
+
+  /** large-star: every node attaches its STRICTLY LARGER neighbors to the
+    * minimum of its closed neighborhood — emits (v, m(u)) for v ∈ Γ(u), v > u,
+    * m(u) = min(Γ(u) ∪ {u}). Output edges always point larger→smaller. */
+  private[graph] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(m.hint("shuffle_hash"), "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** small-star: seen from each edge's LARGER endpoint u over its smaller
+    * neighbors N(u) — emits (u, m) and (v, m) for v ∈ N(u) \ {m},
+    * m = min(N(u)). */
+  private[graph] def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.filter(col("src") =!= col("dst")).select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val withM = dir.join(
+      dir.groupBy("u").agg(min(col("v")).as("m")).hint("shuffle_hash"), "u")
+    withM.select(col("u").as("src"), col("m").as("dst"))
+      .union(withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /**
+   * Connected components by alternating large-star/small-star contraction —
+   * O(log n) rounds regardless of diameter (HashMin above needs
+   * diameter-many). Same output contract as [[run]]: (vid, label) with
+   * label = min vertex id of the component, exactly.
+   *
+   * Convergence = exact edge-set fixpoint (equal count + empty anti-join —
+   * sufficient because both sides are distinct sets). A weaker structural
+   * test like "no dst appears as src" is NOT safe: a node can hold parents
+   * into two not-yet-merged stars of one component and still pass it. At the
+   * true fixpoint the paper guarantees one min-rooted star per component.
+   */
+  def runAlternating(spark: SparkSession, edges: DataFrame,
+                     maxIter: Int = 50): DataFrame = {
+    val verts = GraphOps.vertices(edges).localCheckpoint(true)
+    var e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var eCount = -1L
+    var iter = 0
+    var fixed = false
+    while (!fixed && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextCount = next.count()
+      fixed = nextCount == eCount &&
+        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      GraphOps.freeCheckpoint(e)
+      e = next
+      eCount = nextCount
+      iter += 1
+    }
+    // materialize BEFORE freeing the vertex/edge checkpoints the plan reads
+    val labels = verts
+      .join(e.withColumnRenamed("src", "vid").withColumnRenamed("dst", "root")
+        .dropDuplicates("vid"), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("root"), col("vid")).as("label"))
+      .localCheckpoint(true)
+    GraphOps.freeCheckpoint(verts)
+    GraphOps.freeCheckpoint(e)
     labels
   }
 }

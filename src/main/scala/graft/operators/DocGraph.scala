@@ -36,9 +36,12 @@ object DocGraph {
       .distinct()
   }
 
-  /** SQL prefix defining the same edge table for the DuckDB oracle. */
+  /** SQL prefix defining the same edge table for the DuckDB oracle.
+    * Iterative oracles chain CTEs that are each referenced more than once —
+    * `AS MATERIALIZED` stops DuckDB from inlining them (inlining doubles the
+    * plan per iteration: 2^k blowup for a k-superstep oracle). */
   val edgesCte: String =
-    """WITH edges AS (
+    """WITH edges AS MATERIALIZED (
       |  SELECT DISTINCT d.doc_id AS src,
       |         (d.doc_id*2654435761 + f.j*97 + 13) % (SELECT count(*) FROM documents) AS dst
       |  FROM documents d
@@ -49,11 +52,11 @@ object DocGraph {
   /** Shared graph CTEs on top of `edges` (undirected set, degrees, vertices). */
   val graphCtes: String = edgesCte +
     """,
-      |und AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges),
-      |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und),
-      |verts AS (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges)),
-      |outdeg AS (SELECT src AS vid, count(*) AS c FROM edges GROUP BY src),
-      |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)""".stripMargin
+      |und AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM edges),
+      |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und),
+      |verts AS MATERIALIZED (SELECT DISTINCT vid FROM (SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges)),
+      |outdeg AS MATERIALIZED (SELECT src AS vid, count(*) AS c FROM edges GROUP BY src),
+      |nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)""".stripMargin
 
   /**
    * Exactly k PageRank supersteps (same arithmetic as PageRank.run). Output
@@ -76,14 +79,14 @@ object DocGraph {
     val sb = new StringBuilder(graphCtes)
     sb.append(
       """,
-        |r0 AS (SELECT vid, CAST(1.0 AS DOUBLE)/nv.n AS r FROM verts CROSS JOIN nv)""".stripMargin)
+        |r0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE)/nv.n AS r FROM verts CROSS JOIN nv)""".stripMargin)
     for (i <- 1 to k) {
       sb.append(s""",
-        |s$i AS (SELECT e.dst AS vid, sum(r${i - 1}.r / o.c) AS s
+        |s$i AS MATERIALIZED (SELECT e.dst AS vid, sum(r${i - 1}.r / o.c) AS s
         |        FROM edges e JOIN r${i - 1} ON e.src = r${i - 1}.vid JOIN outdeg o ON e.src = o.vid
         |        GROUP BY e.dst),
-        |d$i AS (SELECT CAST(1.0 AS DOUBLE) - sum(s) AS dm FROM s$i),
-        |r$i AS (SELECT v.vid,
+        |d$i AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) - sum(s) AS dm FROM s$i),
+        |r$i AS MATERIALIZED (SELECT v.vid,
         |               CAST(0.15 AS DOUBLE)/nv.n + CAST(0.85 AS DOUBLE)*d$i.dm/nv.n
         |                 + CAST(0.85 AS DOUBLE)*coalesce(s$i.s, 0) AS r
         |        FROM verts v CROSS JOIN nv CROSS JOIN d$i LEFT JOIN s$i ON v.vid = s$i.vid)""".stripMargin)
@@ -109,7 +112,7 @@ object DocGraph {
     sb.append(",\nl0 AS (SELECT vid, vid AS label FROM verts)")
     for (i <- 1 to k) {
       sb.append(s""",
-        |l$i AS (SELECT vid, min(label) AS label FROM (
+        |l$i AS MATERIALIZED (SELECT vid, min(label) AS label FROM (
         |          SELECT s.dst AS vid, l${i - 1}.label FROM sym s JOIN l${i - 1} ON s.src = l${i - 1}.vid
         |          UNION ALL SELECT vid, label FROM l${i - 1}
         |        ) GROUP BY vid)""".stripMargin)
@@ -144,12 +147,12 @@ object DocGraph {
     sb.append(",\np0 AS (SELECT vid, vid AS label FROM verts)")
     for (i <- 1 to k) {
       sb.append(s""",
-        |n$i AS (SELECT s.dst AS vid, p${i - 1}.label FROM sym s JOIN p${i - 1} ON s.src = p${i - 1}.vid),
-        |f$i AS (SELECT vid, label, count(*) AS c FROM n$i GROUP BY vid, label),
-        |w$i AS (SELECT vid, label FROM (
+        |n$i AS MATERIALIZED (SELECT s.dst AS vid, p${i - 1}.label FROM sym s JOIN p${i - 1} ON s.src = p${i - 1}.vid),
+        |f$i AS MATERIALIZED (SELECT vid, label, count(*) AS c FROM n$i GROUP BY vid, label),
+        |w$i AS MATERIALIZED (SELECT vid, label FROM (
         |          SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
         |          FROM f$i) WHERE rn = 1),
-        |p$i AS (SELECT p.vid, coalesce(w$i.label, p.label) AS label
+        |p$i AS MATERIALIZED (SELECT p.vid, coalesce(w$i.label, p.label) AS label
         |        FROM p${i - 1} p LEFT JOIN w$i ON p.vid = w$i.vid)""".stripMargin)
     }
     sb.append(s"\nSELECT vid, label FROM p$k")

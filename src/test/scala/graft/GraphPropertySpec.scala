@@ -90,7 +90,23 @@ class GraphPropertySpec extends SparkSpec {
       }
       assert(gotCc == canonical)
 
+      // O(log n)-round alternating variant: exactly the same labels
+      val gotAlt = ConnectedComponents.runAlternating(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotAlt == canonical)
+
       assert(Triangles.countTriangles(spark, df) == refTriangles(edges))
     }
+  }
+
+  test("alternating CC converges in O(log n) rounds on a high-diameter chain") {
+    // a 400-node path: HashMin would need 400 supersteps (= diameter); the
+    // star-contraction variant must finish well inside 15 alternating rounds
+    // (2·log2(400) ≈ 17 is the paper's bound; observed ~5)
+    val chain = (0L until 399L).map(i => (i, i + 1))
+    val labels = ConnectedComponents.runAlternating(spark, chain.toDF("src", "dst"),
+      maxIter = 15).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 400)
+    assert(labels.values.forall(_ == 0L), "every chain vertex labels to vertex 0")
   }
 }

@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/** Custom streaming state per user (mapGroupsWithState — §3.8 stateful surface). */
+final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 
 /**
  * Structured Streaming surface (SURVEY.md §3.8 mapping, built out for
@@ -45,6 +49,34 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
       .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /**
+   * Custom per-key state via `mapGroupsWithState` — the escape hatch for
+   * stateful logic window/session aggregates can't express. Keeps one
+   * `UserRunning` row per user (event count + exact integer-cent total),
+   * updated per micro-batch; NoTimeout because the key space (users) is
+   * bounded, unlike windows whose state watermarks must expire.
+   *
+   * Money is folded in integer cents so the streamed total is EXACTLY equal
+   * to the batch groupBy total regardless of micro-batch boundaries — a
+   * float fold would drift with batch slicing and break the equality test.
+   */
+  def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0L))
+          var n = prev.n_events
+          var c = prev.total_cents
+          rows.foreach { r => n += 1; c += r._2 }
+          val next = UserRunning(uid, n, c)
+          state.update(next)
+          next
+      }
+  }
 
   /** Run a streaming DataFrame to completion against a memory sink; return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,

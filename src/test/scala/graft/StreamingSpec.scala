@@ -34,6 +34,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("mapGroupsWithState running totals equal the batch aggregate exactly") {
+    val schema = EventStream.eventsSchema(spark, path)
+    // split into 4 files and trigger one file per micro-batch so the state
+    // genuinely accumulates ACROSS batches (one batch would never read state)
+    val multi = java.nio.file.Files.createTempDirectory("graft-stream-multi").toString
+    spark.read.parquet(path).repartition(4).write.mode("overwrite").parquet(multi)
+    // update mode re-emits a user's row each micro-batch it changes in; the
+    // memory sink keeps them all — the LAST row per user is the final state
+    val got = EventStream.runToMemory(spark,
+        EventStream.runningUserStats(spark,
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(multi)).toDF(),
+        "running_users", outputMode = "update")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = spark.read.parquet(path)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("session windows produce per-user sessions with positive event counts") {
     val schema   = EventStream.eventsSchema(spark, path)
     val sessions = EventStream.runToMemory(spark,

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.graph.{PageRank, PageRankConfig}
+import graft.graph.{CsrPageRank, PageRank, PageRankConfig}
 import graft.sources.PageSynth
 
 /**
@@ -36,11 +36,19 @@ object ScalingBench {
 
     val strategy = sys.env.getOrElse("SPARK_GRAFT_JOIN", "auto")
     val repeats  = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // engine: "sql" = Catalyst superstep (default), "csr" = §4.4 packed-CSR
+    val engine   = sys.env.getOrElse("SPARK_GRAFT_ENGINE", "sql")
     val cfg = PageRankConfig(eps = 0.0, maxIter = iters, ckptEvery = 0,
       numPartitions = cores, joinStrategy = strategy)
     val edges  = PageSynth.edgeList(spark, nPages, numPartitions = cores)
     val nEdges = edges.count()
-    PageRank.run(spark, edges.toDF(), cfg.copy(maxIter = 2))
+
+    def onePass(maxIter: Int): Seq[graft.graph.IterMetrics] = engine match {
+      case "csr" => CsrPageRank.run(spark, edges.toDF(),
+        eps = 0.0, maxIter = maxIter, numPartitions = cores).metrics
+      case _ => PageRank.run(spark, edges.toDF(), cfg.copy(maxIter = maxIter)).metrics
+    }
+    onePass(2) // warm-up
 
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -54,11 +62,11 @@ object ScalingBench {
     val runs = (1 to repeats).map { _ =>
       val l0  = loadavg()
       val t0  = System.nanoTime()
-      val res = PageRank.run(spark, edges.toDF(), cfg)
+      val ms  = onePass(iters)
       val sec = (System.nanoTime() - t0) / 1e9
-      val walls = res.metrics.map(_.wallMs).sorted
-      System.err.println("per-superstep wallMs: " + res.metrics.map(_.wallMs).mkString(","))
-      (sec, walls(walls.length / 2), l0, loadavg(), res.iterations)
+      val walls = ms.map(_.wallMs).sorted
+      System.err.println("per-superstep wallMs: " + ms.map(_.wallMs).mkString(","))
+      (sec, walls(walls.length / 2), l0, loadavg(), ms.length)
     }
     val (sec, medMs, l0, l1, its) = runs.minBy(_._1)
     val rate    = nEdges.toDouble * its / sec
@@ -66,7 +74,7 @@ object ScalingBench {
     val runsJson = runs.map { case (s, m, a, b, _) =>
       s"""{"sec":$s,"median_superstep_ms":$m,"load_before":$a,"load_after":$b}"""
     }.mkString("[", ",", "]")
-    println(s"""{"bench":"pagerank_scaling","cores":$cores,"pages":$nPages,"edges":$nEdges,"supersteps":$its,"sec":$sec,"edges_per_sec_per_superstep":$rate,"median_superstep_ms":$medMs,"median_edges_per_sec":$medRate,"load_before":$l0,"load_after":$l1,"runs":$runsJson}""")
+    println(s"""{"bench":"pagerank_scaling","engine":"$engine","cores":$cores,"pages":$nPages,"edges":$nEdges,"supersteps":$its,"sec":$sec,"edges_per_sec_per_superstep":$rate,"median_superstep_ms":$medMs,"median_edges_per_sec":$medRate,"load_before":$l0,"load_after":$l1,"runs":$runsJson}""")
     spark.stop()
   }
 }

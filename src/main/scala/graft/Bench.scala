@@ -77,6 +77,19 @@ object Bench {
     results("pagerank_median_edges_per_sec") = nEdges.toDouble / (bestMedMs / 1000.0)
     spark.catalog.clearCache()
 
+    // §4.4 packed-CSR engine on the same graph (measured alternative; the
+    // Catalyst path above is the default — see BENCH/BASELINE.md A/B)
+    val tc0 = System.nanoTime()
+    val csrRes = graft.graph.CsrPageRank.run(spark, edges.toDF(),
+      eps = 0.0, maxIter = iters)
+    val csrSec = (System.nanoTime() - tc0) / 1e9
+    val csrWalls = csrRes.metrics.map(_.wallMs).sorted
+    results("pagerank_csr_bench")            = csrSec
+    results("pagerank_csr_edges_per_sec")    = nEdges.toDouble * iters / csrSec
+    results("pagerank_csr_median_edges_per_sec") =
+      nEdges.toDouble / (csrWalls(csrWalls.length / 2) / 1000.0)
+    spark.catalog.clearCache()
+
     // ---- salted path: hub-skewed graph where hub detection actually fires --
     val hubPages = nPages / 4
     val hubEdges = PageSynth.edgeListWithHubOut(spark, hubPages, hubOut = 200000)

@@ -225,6 +225,21 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)),
 
+    // embedding-cosine near-dup over the corpus plus deterministic planted
+    // twins (uniform-random testdata has no natural near-dups; the planted
+    // pairs make recall observable). LSH recall < 1 by construction → no
+    // ANSI oracle; precision/recall gated by the planted-twin spec.
+    "q_neardup_embedding" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x =>
+          x + (pmod(xxhash64(col("vec_id"), x), lit(100)).cast("float") - 50f) / 5000f)
+          .as("embedding"))
+      Similarity.embeddingNearDuplicates(e.unionByName(twins), "vec_id", "embedding",
+          threshold = 0.98)
+        .select(col("a"), col("b"))
+    }),
+
     // multimodal plumbing: synth binary media → batched stub decode → stats
     // (row count tracks the sf under test so the query is scale-responsive)
     "q_media_meta" -> ((s, d) => {

@@ -91,4 +91,33 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nn"), col("rnk"))
   }
+
+  /**
+   * Embedding-cosine near-duplicate pairs (the dedup-suite member for
+   * multimodal/embedded corpora): sign-LSH bucketing with Hamming-1
+   * multi-probe generates candidates, exact cosine verifies `≥ threshold`.
+   * Emits (a, b, sim) with a < b. Never an all-pairs join — same scale shape
+   * as the MinHash path in [[graft.operators.Dedup]]; recall follows the
+   * sign-LSH collision bound (near-identical vectors agree on every plane
+   * with high probability, so true near-dups at cos ≥ 0.95 are caught by
+   * the multi-probe with ≥1-(ε) probability; planted-twin spec gates it).
+   */
+  def embeddingNearDuplicates(docs: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double = 0.95,
+                              nPlanes: Int = 12, dim: Int = 64,
+                              nProbe: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val withB = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("b", signBucket(col("v"), planes))
+    val probes = withB.select(col("id"), col("v"),
+      explode(array(
+        (col("b") +: (0 until math.min(nProbe, nPlanes)).map(i =>
+          col("b").bitwiseXOR(lit(1L << i)))): _*)).as("pb"))
+    probes.as("q").join(withB.as("c"),
+        col("q.pb") === col("c.b") && col("q.id") < col("c.id"))
+      .select(col("q.id").as("a"), col("c.id").as("b"),
+        cosine(col("q.v"), col("c.v")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .dropDuplicates("a", "b")
+  }
 }

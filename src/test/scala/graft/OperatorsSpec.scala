@@ -86,7 +86,7 @@ class OperatorsSpec extends SparkSpec {
     // uniformly random data top-k neighbors are barely-correlated directions
     // and ANY bucketing scheme has weak recall — that is not the use case.)
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .filter($"vec_id" < 100)
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
     val twins = e.select(($"vec_id" + 1000).as("vec_id"),
       transform($"embedding", x => x + (pmod(xxhash64($"vec_id", x), lit(100)).cast("float") - 50f) / 5000f)
         .as("embedding"))
@@ -139,6 +139,25 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) == (22000L * 3 + 818181L * 4 + 200000L * 3) / 10)
     assert(got(2L) == 0L)
+  }
+
+  test("embedding-cosine near-dup finds planted twins, never sub-threshold pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val twins = e.select(($"vec_id" + 1000).as("vec_id"),
+      transform($"embedding", x =>
+        x + (pmod(xxhash64($"vec_id", x), lit(100)).cast("float") - 50f) / 5000f)
+        .as("embedding"))
+    val pairs = Similarity.embeddingNearDuplicates(
+        e.unionByName(twins), "vec_id", "embedding", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision by construction: exact verify ran on every emitted pair
+    assert(pairs.forall(_._3 >= 0.98))
+    // recall on planted twins (sign-LSH multi-probe; twins differ ~1e-2)
+    val twinHits = pairs.count(p => p._2 == p._1 + 1000)
+    assert(twinHits >= 85, s"twin recall too low: $twinHits/100")
+    // random non-twin vectors must not appear (uniform corpus: cos ≪ 0.98)
+    assert(pairs.forall(p => p._2 == p._1 + 1000), s"unexpected pair in $pairs")
   }
 
   test("quality score in [0,1] and deterministic") {

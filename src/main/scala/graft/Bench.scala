@@ -28,6 +28,9 @@ import graft.sources.PageSynth
  *   `pagerank_median_edges_per_sec` — median-superstep rate of the best run
  *   `pagerank_salted_edges_per_sec` — same engine on a hub-skewed graph where
  *                                     the salted-join path is actually active
+ * `SPARK_GRAFT_CSR_BENCH=1` additionally times the §4.4 packed-CSR engine
+ * under the same warmed best-of-k protocol (default off — EngineAB is the
+ * matched-window A/B instrument for that comparison).
  * Scaling-efficiency evidence (local[8] vs local[32]) is produced by
  * [[graft.tools.ScalingBench]] and recorded in BENCH/BASELINE.md.
  */
@@ -52,6 +55,11 @@ object Bench {
 
     val loadStart = loadavg()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // keys that are rates/counts/ratios, NOT wall seconds — excluded from
+    // `total` explicitly (a name-suffix convention silently breaks the first
+    // time a metric key without the magic suffix is added)
+    val metricKeys = scala.collection.mutable.Set[String]()
+    def metric(k: String, v: Double): Unit = { results(k) = v; metricKeys += k }
 
     // ---- headline: superstep throughput on a ~9M-edge Zipf graph ----------
     val nPages  = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2000000").toLong
@@ -61,6 +69,9 @@ object Bench {
     val nEdges  = edges.count()
     // warm-up run materializes the partitioned cache + JIT
     PageRank.run(spark, edges.toDF(), PageRankConfig(eps = 0.0, maxIter = 2, ckptEvery = 0))
+    // best single run wins; its OWN median superstep is reported (min-sec and
+    // min-median from different runs would mix two load contexts into one
+    // "run" that never happened)
     var bestSec = Double.MaxValue
     var bestMedMs = Long.MaxValue
     (1 to repeats).foreach { _ =>
@@ -69,26 +80,35 @@ object Bench {
         PageRankConfig(eps = 0.0, maxIter = iters, ckptEvery = 0))
       val sec = (System.nanoTime() - t0) / 1e9
       val walls = res.metrics.map(_.wallMs).sorted
-      if (sec < bestSec) bestSec = sec
-      bestMedMs = math.min(bestMedMs, walls(walls.length / 2))
+      if (sec < bestSec) { bestSec = sec; bestMedMs = walls(walls.length / 2) }
     }
-    results("pagerank_superstep_bench")     = bestSec
-    results("pagerank_edges_per_sec")       = nEdges.toDouble * iters / bestSec
-    results("pagerank_median_edges_per_sec") = nEdges.toDouble / (bestMedMs / 1000.0)
+    results("pagerank_superstep_bench")      = bestSec
+    metric("pagerank_edges_per_sec",           nEdges.toDouble * iters / bestSec)
+    metric("pagerank_median_edges_per_sec",    nEdges.toDouble / (bestMedMs / 1000.0))
     spark.catalog.clearCache()
 
-    // §4.4 packed-CSR engine on the same graph (measured alternative; the
-    // Catalyst path above is the default — see BENCH/BASELINE.md A/B)
-    val tc0 = System.nanoTime()
-    val csrRes = graft.graph.CsrPageRank.run(spark, edges.toDF(),
-      eps = 0.0, maxIter = iters)
-    val csrSec = (System.nanoTime() - tc0) / 1e9
-    val csrWalls = csrRes.metrics.map(_.wallMs).sorted
-    results("pagerank_csr_bench")            = csrSec
-    results("pagerank_csr_edges_per_sec")    = nEdges.toDouble * iters / csrSec
-    results("pagerank_csr_median_edges_per_sec") =
-      nEdges.toDouble / (csrWalls(csrWalls.length / 2) / 1000.0)
-    spark.catalog.clearCache()
+    // §4.4 packed-CSR engine (measured alternative; Catalyst is the default —
+    // BENCH/BASELINE.md A/B). OFF by default: a single cold run here published
+    // a contended 478 k/s against EngineAB's matched-window 4.57 M/s and added
+    // 152 s to the official bench wall. EngineAB is the A/B instrument; set
+    // SPARK_GRAFT_CSR_BENCH=1 for an in-bench number (warmed, best-of-k,
+    // same-run median — same protocol as the Catalyst headline above).
+    if (sys.env.get("SPARK_GRAFT_CSR_BENCH").contains("1")) {
+      graft.graph.CsrPageRank.run(spark, edges.toDF(), eps = 0.0, maxIter = 2) // warm-up
+      var csrBestSec = Double.MaxValue
+      var csrBestMedMs = Long.MaxValue
+      (1 to repeats).foreach { _ =>
+        val t0 = System.nanoTime()
+        val res = graft.graph.CsrPageRank.run(spark, edges.toDF(), eps = 0.0, maxIter = iters)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val walls = res.metrics.map(_.wallMs).sorted
+        if (sec < csrBestSec) { csrBestSec = sec; csrBestMedMs = walls(walls.length / 2) }
+      }
+      results("pagerank_csr_bench")            = csrBestSec
+      metric("pagerank_csr_edges_per_sec",       nEdges.toDouble * iters / csrBestSec)
+      metric("pagerank_csr_median_edges_per_sec", nEdges.toDouble / (csrBestMedMs / 1000.0))
+      spark.catalog.clearCache()
+    }
 
     // ---- salted path: hub-skewed graph where hub detection actually fires --
     val hubPages = nPages / 4
@@ -100,9 +120,9 @@ object Bench {
       PageRankConfig(eps = 0.0, maxIter = 4, ckptEvery = 0))
     val saltedSec = (System.nanoTime() - ts0) / 1e9
     results("pagerank_salted_bench")         = saltedSec
-    results("pagerank_salted_edges_per_sec") = nHubE.toDouble * 4 / saltedSec
+    metric("pagerank_salted_edges_per_sec",    nHubE.toDouble * 4 / saltedSec)
     // proof the salted path was active, not dead code (hub set non-empty)
-    results("pagerank_salted_hub_count")     = saltRes.hubCount.toDouble
+    metric("pagerank_salted_hub_count",        saltRes.hubCount.toDouble)
     spark.catalog.clearCache()
 
     // ---- per-query sweep ----------------------------------------------------
@@ -116,9 +136,10 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // total is seconds only — rate/count keys and failure markers are excluded
+    // total is wall seconds only — explicitly-registered metric keys (rates,
+    // counts) and -1 failure markers are excluded
     val total = results.collect {
-      case (k, v) if !k.endsWith("_per_sec") && !k.endsWith("_count") && v >= 0 => v
+      case (k, v) if !metricKeys.contains(k) && v >= 0 => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_start":"$loadStart","load_end":"${loadavg()}"}""")
     spark.stop()

@@ -25,6 +25,20 @@ object SparkEntry {
   /** integer cents of a 2-dp double column — exact cross-engine arithmetic. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** id offsets separating planted twins from the real corpus (recall gates). */
+  private val DocTwinOff = 10000000L
+  private val EmbTwinOff = 1000000L
+
+  /** Exact-duplicate twins of every embedding row (perturbation 0). Chosen so
+    * the recall gates are PROVABLE: an identical vector lands in the identical
+    * sign-LSH bucket, so the candidate join cannot miss the pair and cosine is
+    * exactly 1 ≥ any threshold. A perturbed twin (ε=5e-4) was measured to flip
+    * a plane outside the 4 probed bits for ~0.5% of pairs on this corpus —
+    * fine for the scalatest recall-≥-x specs (which keep gating perturbation
+    * tolerance), wrong for an exact-rows oracle. */
+  private def embTwins(e: DataFrame): DataFrame =
+    e.select((col("vec_id") + lit(EmbTwinOff)).as("vec_id"), col("embedding"))
+
   private def docs(s: SparkSession, dir: String)   = s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String)    = s.read.parquet(s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String)     = s.read.parquet(s"$dir/lineitem.parquet")
@@ -225,6 +239,50 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)),
 
+    // ---- driver-visible recall gates (VERDICT r2 #4): each plants
+    // deterministic twins, runs the PROBABILISTIC path, and emits exactly the
+    // planted pairs it recovered — so the DuckDB oracle (the full planted
+    // list) fails the round on any recall regression, not just scalatest.
+
+    // exact-text twins ⇒ identical minhash signatures ⇒ identical buckets in
+    // every band ⇒ candidate guaranteed; estimate = 1 and exact Jaccard = 1
+    // pass every filter ⇒ recall over planted pairs is PROVABLY 1 (the only
+    // escape — all 16 of a pair's buckets over the hot-bucket cap — would
+    // need >200 docs sharing a signature band, impossible in this corpus of
+    // distinct texts). Twins are planted for every 10th doc to keep the
+    // doubled-corpus LSH cost at ~1.2×, not 4×.
+    "q_neardup_minhash_recall" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val twins = dd.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(DocTwinOff)).as("doc_id"), col("text"))
+      Dedup.nearDuplicates(dd.unionByName(twins), "doc_id", "text", threshold = 0.5)
+        .filter(col("b") === col("a") + lit(DocTwinOff))
+        .select("a", "b")
+    }),
+
+    // exact-duplicate twins ⇒ identical sign-LSH bucket ⇒ candidate
+    // guaranteed, cosine exactly 1 ⇒ provable recall 1 over the planted set
+    // (see embTwins for why ε=0 — the scalatest specs keep gating perturbed
+    // recall, this row gates the bucketing/probe/join plumbing driver-visibly)
+    "q_neardup_embedding_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      Similarity.embeddingNearDuplicates(
+          e.unionByName(embTwins(e)), "vec_id", "embedding", threshold = 0.98)
+        .filter(col("b") === col("a") + lit(EmbTwinOff))
+        .select("a", "b")
+    }),
+
+    // ANN gate: for each of the 50 query vectors, its exact-duplicate twin
+    // must surface at rank 1 of the LSH top-k (cosine exactly 1 — the unique
+    // argmax; no natural 64-dim random pair approaches it) — a missing or
+    // declassed twin drops the row and the oracle compare fails
+    "q_ann_lsh_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      Similarity.lshTopK(e.unionByName(embTwins(e)), "vec_id", "embedding", k = 5)
+        .filter(col("qid") < 50 && col("nn") === col("qid") + lit(EmbTwinOff))
+        .select(col("qid"), col("rnk").cast("long").as("twin_rank"))
+    }),
+
     // embedding-cosine near-dup over the corpus plus deterministic planted
     // twins (uniform-random testdata has no natural near-dups; the planted
     // pairs make recall observable). LSH recall < 1 by construction → no
@@ -376,9 +434,10 @@ object SparkEntry {
     "q_langid" ->
       s"SELECT doc_id, ${TextOps.langIdSql("text")} AS lang_pred FROM documents",
 
-    // exact shingle-set Jaccard over the deterministic mod-997 candidate set;
-    // DuckDB re-derives the 3-token shingle sets from the raw strings (the
-    // Spark side hashes them first — set semantics are identical)
+    // exact shingle-set Jaccard over the deterministic neighbor-pair candidate
+    // set ((a, a+k) for k ∈ 1..3, matching the Spark side above); DuckDB
+    // re-derives the 3-token shingle sets from the raw strings (the Spark
+    // side hashes them first — set semantics are identical)
     "q_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sh AS (
@@ -401,6 +460,19 @@ object SparkEntry {
         |LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
         |JOIN sz za ON za.doc_id = c.a
         |JOIN sz zb ON zb.doc_id = c.b""".stripMargin,
+
+    // recall gates: the oracle is the FULL planted-twin list — any pair the
+    // probabilistic path misses (or misranks, for the ANN gate) is a row
+    // mismatch that fails the round
+    "q_neardup_minhash_recall" ->
+      """SELECT doc_id AS a, doc_id + 10000000 AS b FROM documents
+        |WHERE doc_id % 10 = 0""".stripMargin,
+
+    "q_neardup_embedding_recall" ->
+      "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings",
+
+    "q_ann_lsh_recall" ->
+      "SELECT vec_id AS qid, CAST(1 AS BIGINT) AS twin_rank FROM embeddings WHERE vec_id < 50",
 
     "q_ann_cosine" ->
       """SELECT qid, nn, rnk FROM (

@@ -16,7 +16,11 @@ import graft.graph.{IterMetrics, PageRank}
   * deserialize exactly, hence this wrapper. */
 final case class FileMeta(name: String, bytes: Long)
 
-/** One committed table snapshot (the unit of lineage / resume). */
+/** One committed table snapshot (the unit of lineage / resume).
+  * `formatVersion` history: 1 = files as bare name strings, IterMetrics
+  * without partStats; 2 = FileMeta entries + partStats. The reader accepts
+  * both (legacy checkpoint roots stay resumable); the writer always emits the
+  * current version. */
 final case class SnapshotMeta(
     snapshotId: Long,
     parentId: Long,            // -1 for the first snapshot
@@ -25,7 +29,12 @@ final case class SnapshotMeta(
     files: Seq[FileMeta],
     iter: Int,                 // superstep the snapshot belongs to (-1 if n/a)
     metrics: Seq[IterMetrics], // per-iteration history up to `iter` (incl. partStats)
-    committedAtMs: Long)
+    committedAtMs: Long,
+    formatVersion: Int = IcebergLikeStore.FormatVersion)
+
+object IcebergLikeStore {
+  val FormatVersion: Int = 2
+}
 
 /**
  * S3/S4 — Iceberg-style table store (SURVEY.md §2.1): Parquet data files plus
@@ -60,8 +69,34 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
     else None
   }
 
-  def snapshotMeta(table: String, id: Long): SnapshotMeta =
-    mapper.readValue(metaDir(table).resolve(s"snap-$id.json").toFile, classOf[SnapshotMeta])
+  /** Version-tolerant manifest reader: parses the JSON tree by field so a v1
+    * manifest (file names as bare strings, metrics without partStats) loads
+    * into the current schema instead of failing Jackson databinding — legacy
+    * checkpoint roots written by earlier builds stay resumable. */
+  def snapshotMeta(table: String, id: Long): SnapshotMeta = {
+    val n = mapper.readTree(metaDir(table).resolve(s"snap-$id.json").toFile)
+    val dataDir = n.path("dataDir").asText()
+    val files = n.path("files").elements().asScala.map { f =>
+      if (f.isTextual) { // v1: names only — recover sizes from disk when present
+        val p = Paths.get(dataDir).resolve(f.asText())
+        FileMeta(f.asText(), if (Files.exists(p)) Files.size(p) else -1L)
+      } else FileMeta(f.path("name").asText(), f.path("bytes").asLong(-1L))
+    }.toSeq
+    val metrics = n.path("metrics").elements().asScala.map { m =>
+      IterMetrics(
+        m.path("iter").asInt(), m.path("l1").asDouble(),
+        m.path("danglingMass").asDouble(), m.path("edgesProcessed").asLong(),
+        m.path("wallMs").asLong(),
+        m.path("partStats").elements().asScala // v1: absent → empty
+          .map(p => graft.graph.PartStat(p.path("pid").asInt(), p.path("rows").asLong()))
+          .toSeq)
+    }.toSeq
+    SnapshotMeta(
+      n.path("snapshotId").asLong(), n.path("parentId").asLong(-1L),
+      n.path("table").asText(table), dataDir, files, n.path("iter").asInt(-1),
+      metrics, n.path("committedAtMs").asLong(),
+      n.path("formatVersion").asInt(1)) // v1 manifests carry no version field
+  }
 
   def currentSnapshot(table: String): Option[SnapshotMeta] =
     currentSnapshotId(table).map(snapshotMeta(table, _))

@@ -25,12 +25,16 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame,
           numPartitions: Int = 0, maxIter: Int = 100,
           broadcastMaxRows: Long = 500000L): DataFrame = {
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-
-    val sym = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), parts)
-    sym.count()
+    // explicit numPartitions honored exactly; otherwise right-sized from the
+    // materialized symmetric edge count (same rationale as PageRank.run)
+    val (sym, _, parts) =
+      if (numPartitions > 0) {
+        val s0 = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), numPartitions)
+        (s0, s0.count(), numPartitions)
+      } else {
+        GraphOps.layoutForIteration(GraphOps.symmetrized(edges),
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      }
 
     var labels = GraphOps.vertices(sym)
       .select(col("vid"), col("vid").as("label"))
@@ -78,13 +82,18 @@ object ConnectedComponents {
 
   /** large-star: every node attaches its STRICTLY LARGER neighbors to the
     * minimum of its closed neighborhood — emits (v, m(u)) for v ∈ Γ(u), v > u,
-    * m(u) = min(Γ(u) ∪ {u}). Output edges always point larger→smaller. */
-  private[graph] def largeStar(e: DataFrame): DataFrame = {
+    * m(u) = min(Γ(u) ∪ {u}). Output edges always point larger→smaller.
+    * `pin` selects the physical join for the O(|V|) min-table side
+    * (broadcast below the crossover, shuffle-hash beyond — a blanket
+    * shuffle_hash hint blocks AQE's broadcast at small |V|, the same measured
+    * anti-pattern that cost q_lp 3× before its pin). */
+  private[graph] def largeStar(e: DataFrame,
+                               pin: DataFrame => DataFrame): DataFrame = {
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
-    sym.join(m.hint("shuffle_hash"), "u")
+    sym.join(pin(m), "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()
@@ -93,12 +102,12 @@ object ConnectedComponents {
   /** small-star: seen from each edge's LARGER endpoint u over its smaller
     * neighbors N(u) — emits (u, m) and (v, m) for v ∈ N(u) \ {m},
     * m = min(N(u)). */
-  private[graph] def smallStar(e: DataFrame): DataFrame = {
+  private[graph] def smallStar(e: DataFrame,
+                               pin: DataFrame => DataFrame): DataFrame = {
     val dir = e.filter(col("src") =!= col("dst")).select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
-    val withM = dir.join(
-      dir.groupBy("u").agg(min(col("v")).as("m")).hint("shuffle_hash"), "u")
+    val withM = dir.join(pin(dir.groupBy("u").agg(min(col("v")).as("m"))), "u")
     withM.select(col("u").as("src"), col("m").as("dst"))
       .union(withM.filter(col("v") =!= col("m"))
         .select(col("v").as("src"), col("m").as("dst")))
@@ -118,17 +127,23 @@ object ConnectedComponents {
    * true fixpoint the paper guarantees one min-rooted star per component.
    */
   def runAlternating(spark: SparkSession, edges: DataFrame,
-                     maxIter: Int = 50): DataFrame = {
+                     maxIter: Int = 50,
+                     broadcastMaxRows: Long = 500000L): DataFrame = {
     val verts = GraphOps.vertices(edges).localCheckpoint(true)
     var e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
+    // the per-round min tables are keyed by vertex — same broadcast-or-SHJ
+    // crossover as run(); nV is a cheap count on the checkpointed vertex set
+    val nV = verts.count()
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     var eCount = -1L
     var iter = 0
     var fixed = false
     while (!fixed && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e, pin), pin).localCheckpoint(true)
       val nextCount = next.count()
       fixed = nextCount == eCount &&
         next.join(e, Seq("src", "dst"), "left_anti").isEmpty
@@ -137,6 +152,12 @@ object ConnectedComponents {
       eCount = nextCount
       iter += 1
     }
+    // at the fixpoint every vertex holds exactly one min-rooted parent; an
+    // exhausted maxIter would instead leave arbitrary multi-parent state that
+    // dropDuplicates would silently resolve wrong — fail loudly instead
+    require(fixed,
+      s"alternating CC did not reach the edge-set fixpoint in $maxIter rounds " +
+        s"(graph needs more rounds — raise maxIter; labels would be arbitrary)")
     // materialize BEFORE freeing the vertex/edge checkpoints the plan reads
     val labels = verts
       .join(e.withColumnRenamed("src", "vid").withColumnRenamed("dst", "root")

@@ -110,6 +110,41 @@ object GraphOps {
   }
 
   /**
+   * Right-sized iteration partition count: ~`edgesPerPart` edges per task,
+   * clamped to [4, confParts]. A superstep stage always schedules one task
+   * per partition, so a 20k-edge graph on 32 partitions pays 32 near-empty
+   * tasks × ~40 supersteps of pure scheduling overhead (measured: 3.6 s vs
+   * 0.6 s per superstep at sf0.1). At scale the clamp is inert — any graph
+   * past `confParts × edgesPerPart` edges (1.6M at 32 parts) keeps the
+   * configured width.
+   */
+  def rightSizedParts(edgeCount: Long, confParts: Int,
+                      edgesPerPart: Long = 50000L): Int =
+    math.max(1L, math.min(confParts.toLong,
+      math.max(4L, edgeCount / edgesPerPart))).toInt
+
+  /**
+   * Two-phase iteration layout: partition at the configured width, count (the
+   * count also materializes the cache), then — only when the graph turns out
+   * to be far smaller than the configured width warrants — re-layout at the
+   * right-sized width from the cache. Big graphs take exactly the old path
+   * (one shuffle, one count); tiny graphs pay one extra tiny shuffle once to
+   * save it on every superstep. Returns (cached edges, |E|, parts).
+   */
+  def layoutForIteration(edges: DataFrame, confParts: Int): (DataFrame, Long, Int) = {
+    val e0  = partitionForIteration(edges, confParts)
+    val cnt = e0.count()
+    val p   = rightSizedParts(cnt, confParts)
+    if (p == confParts) (e0, cnt, confParts)
+    else {
+      val e1 = partitionForIteration(e0, p)
+      e1.count()
+      e0.unpersist(false)
+      (e1, cnt, p)
+    }
+  }
+
+  /**
    * Free the block-store storage of a `localCheckpoint`ed DataFrame. The
    * ContextCleaner only drops checkpoint blocks after the RDD is GC'd on the
    * driver — in a tight superstep loop that lags far behind allocation and

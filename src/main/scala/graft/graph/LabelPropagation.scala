@@ -23,12 +23,16 @@ object LabelPropagation {
   def run(spark: SparkSession, edges: DataFrame,
           numPartitions: Int = 0, maxIter: Int = 20,
           broadcastMaxRows: Long = 500000L): DataFrame = {
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-
-    val sym = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), parts)
-    sym.count()
+    // explicit numPartitions honored exactly; otherwise right-sized from the
+    // materialized symmetric edge count (same rationale as PageRank.run)
+    val (sym, _, parts) =
+      if (numPartitions > 0) {
+        val s0 = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), numPartitions)
+        (s0, s0.count(), numPartitions)
+      } else {
+        GraphOps.layoutForIteration(GraphOps.symmetrized(edges),
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      }
 
     var labels = GraphOps.vertices(sym)
       .select(col("vid"), col("vid").as("label"))

@@ -21,8 +21,13 @@ object DocGraph {
   def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  // One count() job per sfDir per JVM, not per query: the testdata tables are
+  // immutable for a run, and ~20 graph queries each need |docs| to derive the
+  // edge table — uncached that is one extra Spark job per query.
+  private val nDocsMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   def nDocs(spark: SparkSession, sfDir: String): Long =
-    docs(spark, sfDir).count()
+    nDocsMemo.computeIfAbsent(sfDir, d => docs(spark, d).count()).longValue()
 
   /** The derived edge table (src, dst) — matches the `edges` CTE in oracle SQL. */
   def edges(spark: SparkSession, sfDir: String): DataFrame = {

@@ -39,8 +39,15 @@ object PipelineDemo {
     // as its own snapshot and downstream jobs consume that.
     val (pages, edges) = store match {
       case Some(st) =>
-        if (st.currentSnapshotId("pages").isEmpty)
+        // reuse an existing pages snapshot ONLY if it matches the requested
+        // crawl size — otherwise a re-run with a different n would silently
+        // compute on the stale crawl
+        val stale = st.currentSnapshot("pages")
+          .exists(m => st.read("pages", Some(m.snapshotId)).count() != n)
+        if (st.currentSnapshotId("pages").isEmpty || stale) {
+          if (stale) println(s"== existing pages snapshot row count != $n; committing fresh crawl ==")
           st.commit("pages", PageSynth.pages(spark, n).toDF())
+        }
         val p = st.read("pages")
         println(s"== pages snapshot ${st.currentSnapshotId("pages").get} ==")
         st.commit("edges", GraphOps.edgesFromPages(p))

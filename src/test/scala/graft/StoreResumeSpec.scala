@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import graft.ckpt.IcebergLikeStore
 import graft.graph._
@@ -27,6 +28,50 @@ class StoreResumeSpec extends SparkSpec {
     assert(store.read("t").count() == 3)
     assert(store.read("t", Some(0L)).count() == 2) // time travel
     assert(hist.head.files.nonEmpty)
+  }
+
+  test("v1 (legacy) manifests load tolerantly and stay resumable") {
+    // Round-2 changed the manifest schema (files: strings → FileMeta,
+    // IterMetrics gained partStats). A checkpoint root written by the old
+    // build must still read and resume — hand-write a v1 manifest (no
+    // formatVersion field, bare file-name strings, metrics without partStats)
+    // over real parquet data and load it through the tolerant reader.
+    val root  = Files.createTempDirectory("graft-legacy").toString
+    val store = new IcebergLikeStore(spark, root)
+    val dataDir = java.nio.file.Paths.get(root, "ranks", "data", "snap-0")
+    Seq((1L, 0.5), (2L, 0.5)).toDF("vid", "rank")
+      .coalesce(1).write.parquet(dataDir.toString)
+    val pq = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val metaDir = java.nio.file.Paths.get(root, "ranks", "metadata")
+    Files.createDirectories(metaDir)
+    val v1 =
+      s"""{"snapshotId":0,"parentId":-1,"table":"ranks","dataDir":"$dataDir",
+         |"files":["$pq"],
+         |"iter":3,
+         |"metrics":[{"iter":3,"l1":0.01,"danglingMass":0.0,"edgesProcessed":2,"wallMs":5}],
+         |"committedAtMs":123}""".stripMargin
+    Files.write(metaDir.resolve("snap-0.json"),
+      v1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(metaDir.resolve("current"),
+      "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val meta = store.currentSnapshot("ranks").get
+    assert(meta.formatVersion == 1)
+    assert(meta.files == Seq(graft.ckpt.FileMeta(pq, Files.size(dataDir.resolve(pq)))))
+    assert(meta.metrics.head.partStats.isEmpty) // v1 default, not a crash
+    assert(meta.metrics.head.l1 == 0.01 && meta.iter == 3)
+    // resume path: latest() reads through the same tolerant reader
+    val latest = store.rankCheckpointer("ranks").latest().get
+    assert(latest._1 == 3 && latest._2.count() == 2)
+    // a fresh commit on the same root upgrades the chain to the current format
+    val next = store.commit("ranks", Seq((1L, 0.6), (2L, 0.4)).toDF("vid", "rank"), iter = 4)
+    assert(next.formatVersion == IcebergLikeStore.FormatVersion && next.parentId == 0L)
+    assert(store.history("ranks").map(_.formatVersion) == Seq(2, 1))
   }
 
   test("PageRank resumes mid-iteration from durable checkpoint") {

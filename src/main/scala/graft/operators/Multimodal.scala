@@ -16,44 +16,84 @@ final case class MediaMeta(
     duration_ms: Long, payload_bytes: Long)
 
 /**
- * Multimodal-column operators. Real decode/resize/transcode needs codec
- * libraries this container doesn't ship, so the byte-level decode is a
- * deterministic STUB (`parseHeader` on a self-describing fake header) — but
- * the Spark-side plumbing is the real pattern and is what's tested:
+ * Multimodal-column operators. Image payloads are REAL PNGs (synthesized
+ * pixel-by-pixel, encoded and decoded by the JDK's own ImageIO codec — zero
+ * external dependencies); audio/video codecs genuinely don't exist in this
+ * container, so those payloads remain a deterministic, clearly-labeled
+ * self-describing header STUB. The Spark-side plumbing is identical for both
+ * and is what matters at scale:
  *
  *  - media travels as an opaque `binary` column (never materialized on the
  *    driver, column-pruned away unless asked for);
- *  - decode runs batched in `mapPartitions` with the expensive "codec"
- *    initialized ONCE per partition (the mapInPandas/model-server shape:
- *    per-batch init amortized over the partition, not paid per row);
+ *  - decode runs batched in `mapPartitions` with the codec initialized ONCE
+ *    per partition (the mapInPandas/model-server shape: init amortized over
+ *    the partition, not paid per row);
  *  - derived features (frame-sample offsets, thumbnail dims, fake embedding)
  *    are pure functions of the bytes → deterministic, shuffle-free.
  */
 object Multimodal {
 
-  val Magic: Int = 0x47524654 // "GRFT"
+  val Magic: Int = 0x47524654 // "GRFT" (audio/video stub header)
   val Kinds: Array[String] = Array("image", "audio", "video")
 
-  /** Deterministic synthetic media: self-describing header + hash payload. */
+  /** PNG file signature (first 4 of the 8 signature bytes — RFC 2083). */
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0x47.toByte)
+
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      PngMagic.indices.forall(i => bytes(i) == PngMagic(i))
+
+  /** Deterministic REAL PNG: w×h RGB whose pixel (x,y) is a pure function of
+    * (id, x, y), encoded by `javax.imageio`. Dims stay small (≤ 79×63) so a
+    * test-scale corpus encodes in milliseconds; the decode path is identical
+    * at any size. */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (mix2(id, (y.toLong << 20) | x.toLong) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic media: REAL PNG bytes for images; for audio and
+    * video a self-describing fake header + hash payload (no codec available
+    * to produce real containers offline). */
   def synthMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, spark.sparkContext.defaultParallelism).map { id =>
       val kind = Kinds(((mix2(seed, id * 7 + 1) & Long.MaxValue) % 3).toInt)
-      val w    = 16 + ((mix2(seed, id * 7 + 2) & Long.MaxValue) % 4096).toInt
-      val h    = 16 + ((mix2(seed, id * 7 + 3) & Long.MaxValue) % 2160).toInt
-      val dur  = if (kind == "image") 0L else (mix2(seed, id * 7 + 4) & Long.MaxValue) % 600000L
-      val payloadLen = 64 + ((mix2(seed, id * 7 + 5) & Long.MaxValue) % 192).toInt
-      val buf = ByteBuffer.allocate(21 + payloadLen).order(ByteOrder.BIG_ENDIAN)
-      buf.putInt(Magic).put(Kinds.indexOf(kind).toByte)
-        .putInt(w).putInt(h).putLong(dur)
-      var i = 0
-      while (i < payloadLen) { buf.put((mix2(id, i.toLong) & 0xFF).toByte); i += 1 }
-      MediaRow(id, kind, buf.array())
+      if (kind == "image") {
+        val w = 16 + ((mix2(seed, id * 7 + 2) & Long.MaxValue) % 64).toInt
+        val h = 16 + ((mix2(seed, id * 7 + 3) & Long.MaxValue) % 48).toInt
+        MediaRow(id, kind, synthPng(id, w, h))
+      } else {
+        val w    = 16 + ((mix2(seed, id * 7 + 2) & Long.MaxValue) % 4096).toInt
+        val h    = 16 + ((mix2(seed, id * 7 + 3) & Long.MaxValue) % 2160).toInt
+        val dur  = (mix2(seed, id * 7 + 4) & Long.MaxValue) % 600000L
+        val payloadLen = 64 + ((mix2(seed, id * 7 + 5) & Long.MaxValue) % 192).toInt
+        val buf = ByteBuffer.allocate(21 + payloadLen).order(ByteOrder.BIG_ENDIAN)
+        buf.putInt(Magic).put(Kinds.indexOf(kind).toByte)
+          .putInt(w).putInt(h).putLong(dur)
+        var i = 0
+        while (i < payloadLen) { buf.put((mix2(id, i.toLong) & 0xFF).toByte); i += 1 }
+        MediaRow(id, kind, buf.array())
+      }
     }
   }
 
-  /** STUB decode — parses the deterministic fake header. A real build swaps
-    * this one function for an actual codec call; everything around it stays. */
+  /** STUB decode for the kinds with no offline codec (audio/video): parses
+    * the deterministic fake header. A real build swaps this one function for
+    * an actual codec call; everything around it stays. */
   def parseHeader(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
     if (bytes == null || bytes.length < 21) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
@@ -63,19 +103,32 @@ object Multimodal {
   }
 
   /**
-   * Batched decode: one simulated codec init per partition, then a streaming
-   * pass over the rows — the batch shape a real decoder/model needs.
-   * Malformed payloads are dropped (never fail the partition).
+   * Batched decode: one codec init per partition, then a streaming pass over
+   * the rows. PNG payloads go through a REAL `javax.imageio` pixel decode
+   * (width/height read from the decoded raster, not from our own metadata);
+   * stub-header payloads go through [[parseHeader]]. Malformed payloads of
+   * either sort are dropped (never fail the partition).
    */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec" init — deliberate stand-in for an expensive
-      // library/model handle that must NOT be constructed per row
-      val codecHandle = new java.util.concurrent.atomic.AtomicLong(0L)
+      // the expensive per-partition codec handle: ONE ImageReader, re-set
+      // per row — never constructed per row
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      val png = if (readers.hasNext) readers.next() else null
       rows.flatMap { r =>
-        codecHandle.incrementAndGet()
-        parseHeader(r.media_id, r.payload)
+        if (isPng(r.payload) && png != null) {
+          try {
+            val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              png.setInput(in)
+              val img = png.read(0) // full pixel decode, not just the IHDR header
+              Some(MediaMeta(r.media_id, "image", img.getWidth, img.getHeight,
+                0L, r.payload.length.toLong))
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        } else parseHeader(r.media_id, r.payload)
       }
     }
   }

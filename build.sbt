@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for measurement experiments (e.g. GC selection in the
+  // scaling bench): SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC"
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.trim.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

@@ -8,26 +8,46 @@ import graft.sources.PageSynth
 /**
  * Two-cluster-size scaling evidence (BASELINE.json:2,14; sandbox form per the
  * round driver: same job + same input at two parallelism levels). Run once
- * per parallelism level in a fresh JVM:
+ * per parallelism level in a fresh JVM, with the WHOLE JVM pinned to N CPUs:
  *
- *   sbt "runMain graft.tools.ScalingBench <cores> [nPages] [iters]"
+ *   taskset -c 0-<N-1> sbt "runMain graft.tools.ScalingBench <cores> [nPages] [iters]"
  *
- * Prints one JSON line with superstep throughput; efficiency between N and
- * 4N cores = (rate_4N / rate_N) / 4, recorded in BENCH/BASELINE.md.
+ * The taskset pin matters for honesty: a bare `local[N]` JVM still runs its
+ * GC/JIT/daemon threads on all 32 physical cores, which subsidizes the
+ * small-N leg (measured ~10% at N=1) in a way a real N-core executor never
+ * enjoys — so unpinned pairs overstate efficiency. Prints one JSON line with
+ * superstep throughput (every repeat + loadavg context embedded); efficiency
+ * between N and 4N cores = (T_N / T_4N) / 4 on each leg's BEST run, recorded
+ * in BENCH/BASELINE.md. Each leg uses its own best configuration — a conf
+ * that slows one leg must not be used to flatter the ratio (the round-1
+ * "0.976" came from exactly that artifact).
  */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val cores  = args(0).toInt
     val nPages = if (args.length > 1) args(1).toLong else 500000L
     val iters  = if (args.length > 2) args(2).toInt else 8
+    // SPARK_GRAFT_MASTER overrides the master URL — the N-vs-4N *executor*
+    // form of the north rule uses `local-cluster[N,c,mem]`: real separate
+    // executor JVMs (own heap, own GC) on this box, vs local[N]'s single
+    // shared JVM. `cores` stays the TOTAL parallelism (partitions).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
     val builder = SparkSession.builder()
-      .master(s"local[$cores]")
+      .master(master)
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      // executor JVMs are launched by the pseudo-cluster worker with only the
+      // Spark jars on their classpath; hand them the full driver classpath
+      // (repo classes + test deps live on the local FS of this same box)
+      builder.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      builder.config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+    }
     // experiment knobs: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -120,7 +120,7 @@ object ConnectedComponents {
    * diameter-many). Same output contract as [[run]]: (vid, label) with
    * label = min vertex id of the component, exactly.
    *
-   * Convergence = exact edge-set fixpoint (equal count + empty anti-join —
+   * Convergence = exact edge-set fixpoint (empty symmetric difference —
    * sufficient because both sides are distinct sets). A weaker structural
    * test like "no dst appears as src" is NOT safe: a node can hold parents
    * into two not-yet-merged stars of one component and still pass it. At the
@@ -128,7 +128,15 @@ object ConnectedComponents {
    */
   def runAlternating(spark: SparkSession, edges: DataFrame,
                      maxIter: Int = 50,
-                     broadcastMaxRows: Long = 500000L): DataFrame = {
+                     broadcastMaxRows: Long = 500000L): DataFrame =
+    runAlternatingDetailed(spark, edges, maxIter, broadcastMaxRows)._1
+
+  /** [[runAlternating]] plus the number of contraction rounds it took — the
+    * round count feeds the jobs-per-round regression test (wall-clock bench
+    * evidence proved contaminable; the structural job count is not). */
+  private[graft] def runAlternatingDetailed(
+      spark: SparkSession, edges: DataFrame,
+      maxIter: Int = 50, broadcastMaxRows: Long = 500000L): (DataFrame, Int) = {
     val verts = GraphOps.vertices(edges).localCheckpoint(true)
     var e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -139,33 +147,51 @@ object ConnectedComponents {
     val nV = verts.count()
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
-    var eCount = -1L
-    var iter = 0
-    var fixed = false
-    while (!fixed && iter < maxIter) {
-      val next = smallStar(largeStar(e, pin), pin).localCheckpoint(true)
-      val nextCount = next.count()
-      fixed = nextCount == eCount &&
-        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+    // right-size the per-round shuffle width from the materialized edge count
+    // (stars symmetrize, hence 2×). Unlike run(), the star rounds' shuffles
+    // come from groupBy/distinct inside largeStar/smallStar, so the width is
+    // set through the session conf for the loop's duration and restored after
+    // — at scale the clamp is inert and the configured width is kept.
+    val eCnt = e.count()
+    val confKey   = "spark.sql.shuffle.partitions"
+    val confSaved = spark.conf.get(confKey, "200")
+    spark.conf.set(confKey,
+      GraphOps.rightSizedParts(eCnt * 2, confSaved.toInt).toString)
+    try {
+      var iter  = 0
+      var fixed = false
+      while (!fixed && iter < maxIter) {
+        val next = smallStar(largeStar(e, pin), pin).localCheckpoint(false)
+        // ONE job per round: the symmetric-difference count over a full-outer
+        // join decides the exact fixpoint in the same action that materializes
+        // the lazily-checkpointed next edge set (both sides are distinct sets,
+        // so zero mismatches ⟺ set equality — same criterion as the former
+        // count + anti-join pair, without their two extra driver actions).
+        val mism = next.withColumn("inN", lit(1))
+          .join(e.withColumn("inO", lit(1)), Seq("src", "dst"), "full_outer")
+          .agg(coalesce(sum(when(col("inN").isNull || col("inO").isNull, 1L)
+            .otherwise(0L)), lit(0L)))
+          .first().getLong(0)
+        fixed = mism == 0L
+        GraphOps.freeCheckpoint(e)
+        e = next
+        iter += 1
+      }
+      // at the fixpoint every vertex holds exactly one min-rooted parent; an
+      // exhausted maxIter would instead leave arbitrary multi-parent state that
+      // dropDuplicates would silently resolve wrong — fail loudly instead
+      require(fixed,
+        s"alternating CC did not reach the edge-set fixpoint in $maxIter rounds " +
+          s"(graph needs more rounds — raise maxIter; labels would be arbitrary)")
+      // materialize BEFORE freeing the vertex/edge checkpoints the plan reads
+      val labels = verts
+        .join(e.withColumnRenamed("src", "vid").withColumnRenamed("dst", "root")
+          .dropDuplicates("vid"), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("root"), col("vid")).as("label"))
+        .localCheckpoint(true)
+      GraphOps.freeCheckpoint(verts)
       GraphOps.freeCheckpoint(e)
-      e = next
-      eCount = nextCount
-      iter += 1
-    }
-    // at the fixpoint every vertex holds exactly one min-rooted parent; an
-    // exhausted maxIter would instead leave arbitrary multi-parent state that
-    // dropDuplicates would silently resolve wrong — fail loudly instead
-    require(fixed,
-      s"alternating CC did not reach the edge-set fixpoint in $maxIter rounds " +
-        s"(graph needs more rounds — raise maxIter; labels would be arbitrary)")
-    // materialize BEFORE freeing the vertex/edge checkpoints the plan reads
-    val labels = verts
-      .join(e.withColumnRenamed("src", "vid").withColumnRenamed("dst", "root")
-        .dropDuplicates("vid"), Seq("vid"), "left")
-      .select(col("vid"), coalesce(col("root"), col("vid")).as("label"))
-      .localCheckpoint(true)
-    GraphOps.freeCheckpoint(verts)
-    GraphOps.freeCheckpoint(e)
-    labels
+      (labels, iter)
+    } finally spark.conf.set(confKey, confSaved)
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.graft.ListenerBusDrain
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.graph._
+
+/**
+ * Structural jobs-per-superstep regression guard for the iterative drivers
+ * (VERDICT r3 #6): round 3 proved wall-clock bench evidence can be
+ * contaminated by host-level contention the guest can't see, so the
+ * "one driver action per superstep" property each driver claims is asserted
+ * here as an exact Spark-job count — a listener can't be fooled by a noisy
+ * neighbor, and a regression to eager-checkpoint/count/anti-join patterns
+ * (3 actions per round, the round-3 q_cc_alt defect) fails this suite.
+ *
+ * Counting protocol: AQE is OFF in a dedicated child session (AQE splits one
+ * action into one job per materialized query stage, making counts
+ * plan-shape-dependent) and broadcasts are disabled via joinStrategy /
+ * broadcastMaxRows = 0 (each BroadcastExchange submits its own async collect
+ * job). Under those pins, jobs == driver actions exactly.
+ */
+class JobCountSpec extends SparkSpec {
+
+  private lazy val noAqe: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; ListenerBusDrain.drain(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
+
+  /** 31-vertex path: HashMin/LP label waves travel one hop per superstep, so
+    * runs capped at 3 and 6 iterations really execute 3 and 6 (no early
+    * convergence), and out-degrees are 1 (no hubs → no salting side jobs). */
+  private def pathEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+  }
+
+  test("PageRank: exactly one job per extra superstep") {
+    val e = pathEdges(noAqe)
+    def cfg(k: Int) = PageRankConfig(eps = 0.0, maxIter = k, ckptEvery = 0,
+      joinStrategy = "shuffle_hash")
+    val j3 = jobsDuring { PageRank.run(noAqe, e, cfg(3)) }
+    val j6 = jobsDuring { PageRank.run(noAqe, e, cfg(6)) }
+    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+  }
+
+  test("HashMin CC: exactly one job per extra superstep") {
+    val e = pathEdges(noAqe)
+    val j3 = jobsDuring { ConnectedComponents.run(noAqe, e, maxIter = 3, broadcastMaxRows = 0L) }
+    val j6 = jobsDuring { ConnectedComponents.run(noAqe, e, maxIter = 6, broadcastMaxRows = 0L) }
+    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+  }
+
+  test("label propagation: exactly one job per extra superstep") {
+    val e = pathEdges(noAqe)
+    val j3 = jobsDuring { LabelPropagation.run(noAqe, e, maxIter = 3, broadcastMaxRows = 0L) }
+    val j6 = jobsDuring { LabelPropagation.run(noAqe, e, maxIter = 6, broadcastMaxRows = 0L) }
+    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+  }
+
+  test("alternating CC: one job per contraction round plus fixed setup") {
+    val e = pathEdges(noAqe)
+    var rounds = -1
+    val jobs = jobsDuring {
+      val (labels, r) =
+        ConnectedComponents.runAlternatingDetailed(noAqe, e, broadcastMaxRows = 0L)
+      rounds = r
+      // sanity: the result is still the right one (single component, min id 0)
+      assert(labels.collect().forall(_.getLong(1) == 0L))
+    }
+    // 5 fixed actions by design: verts checkpoint, edge checkpoint, |V| count,
+    // |E| count (right-sizing), final label checkpoint — plus ONE per round.
+    // (The labels.collect() above is excluded: 5 + rounds + 1.)
+    assert(jobs == rounds + 6,
+      s"expected rounds+6 jobs (1/round + 5 setup + the assertion's collect), " +
+        s"got $jobs for $rounds rounds")
+  }
+}

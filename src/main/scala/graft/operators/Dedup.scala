@@ -110,9 +110,36 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
 
+  /** (id, sig) MinHash signature table of a corpus — the reusable first stage
+    * of [[nearDuplicates]]. Immutable-corpus callers should compute this once,
+    * checkpoint it, and feed [[nearDuplicatesFromIndex]] (the harness memoizes
+    * it per testdata dir so the recall gate doesn't re-shingle the corpus). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashSignature(shingleHashes(col(textCol)), numHashes).as("sig"))
+
+  /** Hot-bucket-capped LSH banding (id, band, bucket) of a signature table.
+    * The cap is the standard web-scale guard: an oversized bucket is
+    * non-discriminative (shared boilerplate hashing together) and alone costs
+    * O(size²) candidate pairs. */
+  def cappedBuckets(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                    maxBucketSize: Int = 200): DataFrame = {
+    val bk0 = lshBuckets(sigs, "id", "sig", bands, numHashes / bands)
+    val big = bk0.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bucket")
+    bk0.join(big, Seq("band", "bucket"), "left_anti")
+  }
+
   /**
-   * Near-duplicate pairs: MinHash-LSH candidates → signature-agreement
-   * estimate pre-filter → exact Jaccard ≥ threshold.
+   * Near-duplicate verification over a prebuilt LSH index: same-bucket
+   * candidates → signature-agreement estimate pre-filter → exact Jaccard ≥
+   * threshold. `sigs`/`bk` come from [[signatures]] / [[cappedBuckets]] and
+   * are owned by the caller (persist/unpersist lifecycle stays outside); the
+   * surviving candidate set is eagerly checkpointed here, so on return the
+   * result plan reads only `docs` and that checkpoint — the caller may
+   * release the index immediately.
    *
    * The pre-filter matters at scale: corpora with a shared vocabulary
    * produce LSH band collisions for mid-similarity pairs, and running the
@@ -121,28 +148,20 @@ object Dedup {
    * sd ≈ √(j(1−j)/64) ≈ 0.06) is computed per pair with one zip_with —
    * pairs more than ~2.5σ below the threshold never reach the exact join.
    */
-  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.8, numHashes: Int = 64,
-                     bands: Int = 16, estimateMargin: Double = 0.15,
-                     maxBucketSize: Int = 200): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = docs.select(col(idCol).as("id"), col(textCol))
-      .withColumn("sig", minhashSignature(shingleHashes(col(textCol)), numHashes))
-      .select("id", "sig")
-      .persist()
-    val bk0 = lshBuckets(sigs, "id", "sig", bands, rows)
-    // cap bucket size: an oversized bucket is non-discriminative (shared
-    // boilerplate hashing together) and alone costs O(size²) candidate pairs —
-    // the standard web-scale guard against quadratic blowup on one hot bucket
-    val big = bk0.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select("band", "bucket")
-    val bk = bk0.join(big, Seq("band", "bucket"), "left_anti")
-      .persist()
+  def nearDuplicatesFromIndex(docs: DataFrame, sigs: DataFrame, bk: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.8, numHashes: Int = 64,
+                              estimateMargin: Double = 0.15,
+                              pairFilter: Column = lit(true)): DataFrame = {
+    // pairFilter narrows candidates BEFORE the estimate/verify stages for
+    // callers that only consume a known pair subset (the recall gate keeps
+    // only twin-involving pairs) — pushed right into the bucket join so the
+    // skipped pairs never reach the shingle explode
     val cand = bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
+      .filter(pairFilter)
       .distinct()
     val withEst = cand
       .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
@@ -153,14 +172,29 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est") >= threshold - estimateMargin)
       .select("a", "b")
-      // materialize the (small) surviving candidate set NOW so the signature
-      // and bucket caches can be released before the exact-verify join runs —
-      // a narrow persist lifetime instead of leaking blocks into the session
+      // materialize the (small) surviving candidate set NOW so the index can
+      // be released before the exact-verify join runs — a narrow persist
+      // lifetime instead of leaking blocks into the session
       .localCheckpoint(true)
-    sigs.unpersist(false)
-    bk.unpersist(false)
     jaccardOnCandidates(docs, withEst, idCol, textCol)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** One-shot near-duplicate pairs: builds the signature/bucket index, runs
+    * [[nearDuplicatesFromIndex]], releases the index. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, numHashes: Int = 64,
+                     bands: Int = 16, estimateMargin: Double = 0.15,
+                     maxBucketSize: Int = 200): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, numHashes).persist()
+    val bk   = cappedBuckets(sigs, numHashes, bands, maxBucketSize).persist()
+    val out  = nearDuplicatesFromIndex(docs, sigs, bk, idCol, textCol,
+      threshold, numHashes, estimateMargin)
+    // safe now: FromIndex eagerly checkpointed the candidates, so `out`'s
+    // remaining plan no longer references sigs/bk
+    sigs.unpersist(false)
+    bk.unpersist(false)
+    out
   }
 
   // ---- SimHash --------------------------------------------------------------

@@ -6,7 +6,8 @@ import graft.operators.Multimodal
 import graft.sources.PageSynth.mix2
 
 /** Multimodal binary-column plumbing: batched decode (REAL ImageIO PNG for
-  * images, labeled stub for audio/video), frame sampling, thumbs. */
+  * images, REAL AudioSystem WAV for audio, labeled stub for video), frame
+  * sampling, thumbs. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -16,9 +17,53 @@ class MultimodalSpec extends SparkSpec {
   test("batched decode recovers metadata for every well-formed payload") {
     assert(meta.count() == 300)
     val m = meta.collect()
-    assert(m.forall(r => r.width >= 16 && r.height >= 16 && r.payload_bytes >= 85))
-    assert(m.forall(r => (r.kind == "image") == (r.duration_ms == 0L)))
+    assert(m.forall(_.payload_bytes >= 85))
+    m.foreach { r => r.kind match {
+      case "image" => assert(r.width >= 16 && r.height >= 16 && r.duration_ms == 0L)
+      case "audio" => // width = sample rate, height = channels (see MediaMeta)
+        assert(Multimodal.WavRates.contains(r.width) && r.height == 1 && r.duration_ms > 0L)
+      case "video" => assert(r.width >= 16 && r.height >= 16 && r.duration_ms > 0L)
+    }}
     assert(m.map(_.kind).toSet == Set("image", "audio", "video"))
+  }
+
+  test("audio payloads are real WAVs; decode recovers rate, frames and exact samples") {
+    val auds = media.filter(_.kind == "audio").collect()
+    assert(auds.nonEmpty)
+    auds.take(20).foreach { r =>
+      assert(Multimodal.isWav(r.payload))
+      // independent decode (plain AudioSystem, not the engine path)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val f = ais.getFormat
+      // rate/frames the generator chose, re-derived from the seed formula
+      val rate    = Multimodal.WavRates(((mix2(42L, r.media_id * 7 + 2) & Long.MaxValue)
+        % Multimodal.WavRates.length).toInt)
+      val nFrames = 64 + ((mix2(42L, r.media_id * 7 + 3) & Long.MaxValue) % 1984).toInt
+      assert(f.getSampleRate.toInt == rate && f.getChannels == 1 &&
+        f.getSampleSizeInBits == 16 && ais.getFrameLength == nFrames)
+      // decoded-vs-synthesized sample equality: the PCM byte stream must be
+      // exactly the mix2-derived samples (16-bit little-endian)
+      val pcm = ais.readAllBytes()
+      assert(pcm.length == nFrames * 2)
+      (0 until nFrames).foreach { i =>
+        val s = ((pcm(2 * i) & 0xFF) | ((pcm(2 * i + 1) & 0xFF) << 8)).toShort
+        assert(s == (mix2(r.media_id, i.toLong) & 0xFFFF).toShort,
+          s"sample $i of media ${r.media_id}")
+      }
+      ais.close()
+    }
+    // the engine's batched decode agrees with the independent decode
+    val viaEngine = meta.filter(_.kind == "audio").collect()
+      .map(m => m.media_id -> m).toMap
+    auds.foreach { r =>
+      val rate    = Multimodal.WavRates(((mix2(42L, r.media_id * 7 + 2) & Long.MaxValue)
+        % Multimodal.WavRates.length).toInt)
+      val nFrames = 64 + ((mix2(42L, r.media_id * 7 + 3) & Long.MaxValue) % 1984).toInt
+      val e = viaEngine(r.media_id)
+      assert(e.width == rate && e.height == 1 &&
+        e.duration_ms == nFrames * 1000L / rate)
+    }
   }
 
   test("image payloads are real PNGs; decode reads true raster dims and pixels") {

@@ -157,6 +157,12 @@ object SparkEntry {
       s.range(1).select(
         lit(Triangles.countTriangles(s, DocGraph.edges(s, d))).as("n_triangles"))),
 
+    // per-vertex participation counts — oracles the join STRUCTURE per vertex
+    // (each triangle contributes once to each of its three corners, so the
+    // counts are orientation-invariant and match the a<b<c oracle exactly)
+    "q_triangles_per_vertex" -> ((s, d) =>
+      Triangles.perVertex(s, DocGraph.edges(s, d))),
+
     // full iterative runs, each with an EXACT oracle:
     //  - q_pagerank: 40 fixed supersteps (converged to ≲1e-7 L1 at these
     //    scales; the eps-driven variant is exercised by entry() + goldens) —
@@ -437,6 +443,14 @@ object SparkEntry {
     "q_triangles" ->
       s"""$G SELECT count(*) AS n_triangles
          |FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+
+    "q_triangles_per_vertex" ->
+      s"""$G, tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b)
+         |SELECT vid, count(*) AS triangles FROM (
+         |  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |GROUP BY vid""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // extra JVM flags for measurement experiments (e.g. GC selection in the
   // scaling bench): SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC"
-  sys.env.get("SPARK_GRAFT_JVM_OPTS").map(_.trim.split("\\s+").toSeq)
+  // filter blanks: an empty/whitespace env value would otherwise inject a
+  // "" JVM option that fails forked JVM startup
+  sys.env.get("SPARK_GRAFT_JVM_OPTS")
+    .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
     .getOrElse(Seq.empty)

@@ -69,12 +69,18 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
     else None
   }
 
-  /** Version-tolerant manifest reader: parses the JSON tree by field so a v1
-    * manifest (file names as bare strings, metrics without partStats) loads
-    * into the current schema instead of failing Jackson databinding — legacy
-    * checkpoint roots written by earlier builds stay resumable. */
+  /** Version-aware manifest reader. Current-version manifests go through
+    * Jackson databind — the same layer the writer uses, so a field added to
+    * SnapshotMeta/IterMetrics/PartStat round-trips instead of being silently
+    * defaulted by a hand-rolled parser that never learned it. Only v1
+    * manifests (file names as bare strings, metrics without partStats, no
+    * version field) take the tolerant field-by-field tree parse — legacy
+    * checkpoint roots stay resumable. */
   def snapshotMeta(table: String, id: Long): SnapshotMeta = {
-    val n = mapper.readTree(metaDir(table).resolve(s"snap-$id.json").toFile)
+    val f = metaDir(table).resolve(s"snap-$id.json").toFile
+    val n = mapper.readTree(f)
+    if (n.path("formatVersion").asInt(1) >= IcebergLikeStore.FormatVersion)
+      return mapper.readValue(f, classOf[SnapshotMeta])
     val dataDir = n.path("dataDir").asText()
     val files = n.path("files").elements().asScala.map { f =>
       if (f.isTextual) { // v1: names only — recover sizes from disk when present

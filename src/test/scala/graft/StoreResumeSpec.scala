@@ -74,6 +74,24 @@ class StoreResumeSpec extends SparkSpec {
     assert(store.history("ranks").map(_.formatVersion) == Seq(2, 1))
   }
 
+  test("current-version manifests round-trip every field through databind") {
+    // Field-drift guard (ADVICE r3): the writer uses Jackson databind, and a
+    // current-version manifest must be READ by databind too — a fully
+    // populated SnapshotMeta (files with sizes, metrics WITH partStats) has
+    // to come back equal, so a future field can't be silently defaulted by a
+    // hand-rolled parser that never learned it.
+    val root  = Files.createTempDirectory("graft-roundtrip").toString
+    val store = new IcebergLikeStore(spark, root)
+    val metrics = Seq(
+      IterMetrics(0, 0.5, 0.1, 42L, 7L, Seq(PartStat(0, 2L), PartStat(1, 1L))),
+      IterMetrics(1, 0.25, 0.05, 42L, 6L, Seq(PartStat(0, 3L))))
+    val written = store.commit("rt", Seq((1L, 0.7), (2L, 0.3)).toDF("vid", "rank"),
+      iter = 1, metrics = metrics)
+    val read = store.snapshotMeta("rt", written.snapshotId)
+    assert(read == written, s"manifest round-trip drift:\n  wrote $written\n  read  $read")
+    assert(read.metrics == metrics && read.formatVersion == IcebergLikeStore.FormatVersion)
+  }
+
   test("PageRank resumes mid-iteration from durable checkpoint") {
     val root  = Files.createTempDirectory("graft-resume").toString
     val store = new IcebergLikeStore(spark, root)

@@ -171,13 +171,17 @@ object Bench {
     val nHubE    = hubEdges.count()
     PageRank.run(spark, hubEdges.toDF(), PageRankConfig(eps = 0.0, maxIter = 2, ckptEvery = 0))
     var saltHubs = 0L
-    val saltRun = measured {
-      saltHubs = PageRank.run(spark, hubEdges.toDF(),
-        PageRankConfig(eps = 0.0, maxIter = 4, ckptEvery = 0)).hubCount
+    var saltRuns = Vector.empty[Run]
+    (1 to hRepeats).foreach { _ =>
+      saltRuns :+= measured {
+        saltHubs = PageRank.run(spark, hubEdges.toDF(),
+          PageRankConfig(eps = 0.0, maxIter = 4, ckptEvery = 0)).hubCount
+      }
     }
-    results("pagerank_salted_bench")         = saltRun.sec
-    runLog("pagerank_salted_bench")          = Vector(saltRun)
-    metric("pagerank_salted_edges_per_sec",    nHubE.toDouble * 4 / saltRun.sec)
+    val saltBest = saltRuns.map(_.sec).min
+    results("pagerank_salted_bench")         = saltBest
+    runLog("pagerank_salted_bench")          = saltRuns
+    metric("pagerank_salted_edges_per_sec",    nHubE.toDouble * 4 / saltBest)
     // proof the salted path was active, not dead code (hub set non-empty)
     metric("pagerank_salted_hub_count",        saltHubs.toDouble)
     spark.catalog.clearCache()

@@ -53,14 +53,40 @@ object Similarity {
       }
     }
 
-  /** Sign-LSH bucket id (one long) for a vector column under the given planes. */
-  def signBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+  /** Sign-LSH bucket id (one long) for a vector column under the given
+    * planes. Two physically different but bit-identical forms (equality
+    * pinned by spec):
+    *  - small `planes × dim` products inline each plane as literal columns —
+    *    fully codegen-friendly, the fastest form at dim ≈ 64;
+    *  - past [[InlinePlaneLits]] literal nodes the whole plane matrix becomes
+    *    ONE nested-array `typedLit` (a single Literal node holding ArrayData,
+    *    serialized once into the task binary — never an expression node per
+    *    element) folded with one `aggregate` HOF. At real embedding dims
+    *    (768–4096 × 16+ planes) the inline form would be a multi-MB codegen'd
+    *    expression tree; this form is O(1) in tree size. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    if (planes.map(_.length).sum <= InlinePlaneLits) signBucketInline(vec, planes)
+    else signBucketPacked(vec, planes)
+
+  /** Inline-literal threshold: 64-dim × 12 planes (= 768) stays inline; a
+    * 768-dim embedding under ≥ 6 planes switches to the packed form. */
+  val InlinePlaneLits: Int = 4096
+
+  private[graft] def signBucketInline(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)
       when(dot(vec, planeCol) >= 0, call_function("shiftleft", lit(1L), lit(i)))
         .otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  private[graft] def signBucketPacked(vec: Column, planes: Array[Array[Double]]): Column = {
+    val pl = typedLit(planes.map(_.toSeq).toSeq) // ONE Literal node, any dim
+    aggregate(sequence(lit(0), lit(planes.length - 1)), lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(dot(vec, call_function("element_at", pl, (i + lit(1)).cast("int"))) >= 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
 
   /**

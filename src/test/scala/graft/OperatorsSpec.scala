@@ -160,6 +160,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 == p._1 + 1000), s"unexpected pair in $pairs")
   }
 
+  test("signBucket inline and packed forms are bit-identical (incl. high-dim)") {
+    // low-dim: the corpus embeddings under the production plane count
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 200).select($"vec_id", $"embedding")
+    val planes = Similarity.hyperplanes(12, 64)
+    val both = e.select($"vec_id",
+        Similarity.signBucketInline($"embedding", planes).as("a"),
+        Similarity.signBucketPacked($"embedding", planes).as("b"))
+      .collect()
+    assert(both.nonEmpty && both.forall(r => r.getLong(1) == r.getLong(2)))
+    // high-dim: 768-dim vectors × 16 planes — the regime where the public
+    // signBucket switches to the packed form (12288 > InlinePlaneLits)
+    val hiPlanes = Similarity.hyperplanes(16, 768)
+    assert(hiPlanes.map(_.length).sum > Similarity.InlinePlaneLits)
+    val hi = (0L until 20L).map { i =>
+      (i, Array.tabulate(768)(j =>
+        (graft.sources.PageSynth.mix2(i, j.toLong).toDouble / Long.MaxValue).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hiBoth = hi.select($"vec_id",
+        Similarity.signBucketInline($"embedding", hiPlanes).as("a"),
+        Similarity.signBucket($"embedding", hiPlanes).as("b"))
+      .collect()
+    assert(hiBoth.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("quality score in [0,1] and deterministic") {
     val q = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(TextOps.qualityScore($"text").as("q"))

@@ -191,6 +191,24 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .select("l_returnflag", "l_linestatus", "sum_qty_cents", "sum_base_cents", "rev_c4", "n_rows")),
 
+    // A9 rollup/cube — hierarchical + full grouping-set aggregates with exact
+    // integer-cent arithmetic; grouping nulls are projected to 'ALL' in both
+    // engines (the raw columns are never null in this data, so coalesce is
+    // an unambiguous marker and the driver's hash compare sees no nulls)
+    "q_rollup_returns" -> ((s, d) => li(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty_cents"), col("n_rows"))),
+
+    "q_cube_returns" -> ((s, d) => li(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(cents(col("l_extendedprice"))).as("sum_base_cents"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_base_cents"), col("n_rows"))),
+
     "q_mkt_rev" -> ((s, d) => {
       val o = orders(s, d); val c = cust(s, d)
       o.join(c, o("o_custkey") === c("c_custkey"))
@@ -230,6 +248,9 @@ object SparkEntry {
 
     "q_token_count" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+
+    "q_token_bpeish" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextOps.tokenCountBpeish(col("text")).as("n_subtokens"))),
 
     "q_quality" -> ((s, d) => docs(s, d)
       .select(col("doc_id"),
@@ -461,6 +482,20 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q_rollup_returns" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube_returns" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
     "q_mkt_rev" ->
       """SELECT c_mktsegment,
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
@@ -495,6 +530,10 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN length(text) = 0 THEN 0
         |  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
         |FROM documents""".stripMargin,
+
+    // same pattern constant feeds both engines (TextOps.BpeishPattern)
+    "q_token_bpeish" ->
+      s"SELECT doc_id, ${TextOps.tokenCountBpeishSql("text")} AS n_subtokens FROM documents",
 
     "q_quality" ->
       """SELECT doc_id,

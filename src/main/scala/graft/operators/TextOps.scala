@@ -24,6 +24,23 @@ object TextOps {
   /** Whitespace tokenizer used by the Scala-side operators. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * non-alnum marks — the GPT-2-style pre-split a subword tokenizer counts
+    * over. Restricted to explicit ASCII classes so Java regex (Spark) and
+    * RE2 (DuckDB) agree character-for-character — no \\w/\\b whose unicode
+    * semantics differ between engines. */
+  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Subword-run token count under [[BpeishPattern]] (an upper-ish proxy for
+    * BPE token counts that needs no vocabulary — the standard cheap budget
+    * estimator in training-data pipelines). */
+  def tokenCountBpeish(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
+  /** Matching DuckDB SQL for [[tokenCountBpeish]] (same pattern constant). */
+  def tokenCountBpeishSql(t: String): String =
+    s"CAST(len(regexp_extract_all($t, '$BpeishPattern')) AS BIGINT)"
+
   /** Quality features (integer-exact, oracle-friendly). */
   def alphaChars(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")

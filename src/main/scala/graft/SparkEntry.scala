@@ -242,6 +242,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 1000).cast("long")).as("val_mills"))),
 
+    // J8 as-of join (union + running last_value — never an inequality join):
+    // for each error event, the latest click by the same user at or before
+    // it; DuckDB's native ASOF LEFT JOIN is the oracle. No-match → -1
+    // sentinels so the hash compare sees no nulls.
+    "q_asof_click" -> ((s, d) => {
+      val ev = events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          cents(col("value")).as("click_val_cents"))
+      operators.TemporalJoins.asofJoin(errors, clicks, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("click_val_cents"), lit(-1L)).as("click_val_cents"))
+    }),
+
+    // J8 range join (bin-bucketed equi-join, constant 2× fan-out): clicks by
+    // the same user in the hour before each error; oracle is the plain
+    // inequality join DuckDB can afford at oracle scale
+    "q_click_rate_1h" -> ((s, d) => {
+      val ev = events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      operators.TemporalJoins.countInRange(errors, clicks, "user_id", "ts", "ts",
+          windowMicros = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("n_in_range").as("n_clicks_1h"))
+    }),
+
     // ---- training-data pipeline: dedup / text analysis / similarity --------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(docs(s, d), "doc_id", "text")),
@@ -522,6 +553,25 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS val_mills
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "q_asof_click" ->
+      """WITH errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |clicks AS (SELECT user_id, ts, event_id AS click_id,
+        |           CAST(round(value*100) AS BIGINT) AS cvc
+        |           FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id,
+        |       coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(c.cvc, -1) AS click_val_cents
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    "q_click_rate_1h" ->
+      """WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, count(c.ts) AS n_clicks_1h
+        |FROM errors e LEFT JOIN clicks c
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts < e.ts
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper FROM documents GROUP BY md5(text)",

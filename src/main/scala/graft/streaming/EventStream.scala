@@ -78,6 +78,28 @@ object EventStream {
       }
   }
 
+  /**
+   * Streaming exact dedup by key (`flatMapGroupsWithState` — the zero-or-more
+   * emission surface `mapGroupsWithState` can't express): each key's row is
+   * emitted the FIRST time the key is seen and never again, regardless of
+   * micro-batch slicing — exact dedup at ingest, the streaming member of the
+   * [[graft.operators.Dedup]] suite. State is one boolean per key
+   * (NoTimeout: dedup keys are long-lived by definition; a TTL'd variant
+   * would swap in EventTimeTimeout and re-admit keys past the watermark).
+   */
+  def streamingDedupFirst(spark: SparkSession, events: DataFrame,
+                          keyCol: String = "user_id"): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    events.select(col(keyCol), col("event_id")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single((key, rows.next()._2)) }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink; return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   outputMode: String = "append"): DataFrame = {

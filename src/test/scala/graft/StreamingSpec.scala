@@ -55,6 +55,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState dedup emits each key exactly once across micro-batches") {
+    val schema = EventStream.eventsSchema(spark, path)
+    val multi = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    // 4 files, one per micro-batch: most users appear in SEVERAL batches, so
+    // exactly-once emission genuinely depends on cross-batch state
+    spark.read.parquet(path).repartition(4).write.mode("overwrite").parquet(multi)
+    val got = EventStream.runToMemory(spark,
+        EventStream.streamingDedupFirst(spark,
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(multi)).toDF(),
+        "dedup_first", outputMode = "append")
+      .collect().map(_.getLong(0))
+    val want = spark.read.parquet(path).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "a key was emitted more than once")
+    assert(got.toSet == want.toSet && got.nonEmpty)
+    // and the emitted event genuinely belongs to the key
+    val rows = spark.table("dedup_first").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byEvent = spark.read.parquet(path).select("event_id", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (uid, eid) => assert(byEvent(eid) == uid) }
+  }
+
   test("session windows produce per-user sessions with positive event counts") {
     val schema   = EventStream.eventsSchema(spark, path)
     val sessions = EventStream.runToMemory(spark,

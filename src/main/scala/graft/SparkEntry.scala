@@ -339,6 +339,25 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), "vec_id", "embedding", k = 5)),
 
+    // IVF ANN (learned inverted lists — the brief's other scale path beside
+    // LSH). Centroid doubles depend on aggregation order, so the plain run is
+    // no_oracle like q_ann_lsh; the recall gate below is order-independent.
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), "vec_id", "embedding", k = 5)),
+
+    // IVF gate: an exact-duplicate twin has identical centroid similarities,
+    // hence the identical assignment under the deterministic tie-break, so it
+    // is ALWAYS in its original's probe list and at cosine exactly 1 it is
+    // the unique rank-1 — provable independent of what the learned centroids
+    // happen to be (k-means float nondeterminism cannot break it)
+    "q_ann_ivf_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      requireIdHeadroom(s, d, e, "vec_id", EmbTwinOff)
+      Similarity.ivfTopK(e.unionByName(embTwins(e)), "vec_id", "embedding", k = 5)
+        .filter(col("qid") < 50 && col("nn") === col("qid") + lit(EmbTwinOff))
+        .select(col("qid"), col("rnk").cast("long").as("twin_rank"))
+    }),
+
     // ---- driver-visible recall gates (VERDICT r2 #4): each plants
     // deterministic twins, runs the PROBABILISTIC path, and emits exactly the
     // planted pairs it recovered — so the DuckDB oracle (the full planted
@@ -639,6 +658,9 @@ object SparkEntry {
       "SELECT vec_id AS a, vec_id + 1000000 AS b FROM embeddings",
 
     "q_ann_lsh_recall" ->
+      "SELECT vec_id AS qid, CAST(1 AS BIGINT) AS twin_rank FROM embeddings WHERE vec_id < 50",
+
+    "q_ann_ivf_recall" ->
       "SELECT vec_id AS qid, CAST(1 AS BIGINT) AS twin_rank FROM embeddings WHERE vec_id < 50",
 
     "q_ann_cosine" ->

@@ -89,6 +89,91 @@ object Similarity {
           call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))))
   }
 
+  // ---- IVF (inverted-file) ANN --------------------------------------------
+
+  /** Per-row centroid ranking, entirely inside one projection (zero shuffle):
+    * array of (−cosine, cid) structs sorted ascending ⇒ index 0 is the
+    * nearest centroid, prefix `nProbe` are the probe list. The centroid
+    * matrix travels as ONE typedLit literal (same packing as
+    * [[signBucketPacked]]). Ties break toward the smaller cid. */
+  private def centroidRank(v: Column, centLit: Column, n: Int): Column =
+    array_sort(transform(sequence(lit(0), lit(n - 1)), i => struct(
+      (lit(0.0) - cosine(v, call_function("element_at", centLit, (i + lit(1)).cast("int"))))
+        .as("negSim"),
+      i.cast("int").as("cid"))))
+
+  /**
+   * Deterministic IVF coarse quantizer: `k` centroids learned with `iters`
+   * Lloyd rounds of distributed k-means (cosine assignment), initialized
+   * from a hash-ordered sample of the corpus. All per-row work is
+   * shuffle-free (the argmax runs inside a projection); each round's only
+   * shuffle is the per-(centroid, dimension) mean. The only driver traffic
+   * is the k centroid vectors themselves — O(k·dim) model parameters, never
+   * row data (k-row collects, same class as PageRank's scalar metrics).
+   * Empty clusters keep their previous centroid.
+   */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2): Array[Array[Double]] = {
+    val docs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cents: Array[Array[Double]] = docs
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h", "id").limit(k)
+      .select("v").collect()
+      // element type may be float or double (arithmetic on float arrays
+      // promotes to double in Spark) — read numerically, not by exact type
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    require(cents.nonEmpty, "empty corpus")
+    for (_ <- 1 to iters) {
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val assigned = docs.select(
+        element_at(centroidRank(col("v"), centLit, cents.length), 1)
+          .getField("cid").as("cid"),
+        col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "x")
+        .groupBy("cid", "p").agg(avg(col("x")).as("m"))
+        .groupBy("cid").agg(
+          transform(array_sort(collect_list(struct(col("p"), col("m")))),
+            s => s.getField("m")).as("cv"))
+        .collect()
+      val updated = cents.map(_.clone())
+      means.foreach(r => updated(r.getInt(0)) = r.getSeq[Double](1).toArray)
+      cents = updated
+    }
+    cents
+  }
+
+  /**
+   * IVF ANN top-k: corpus vectors are assigned to their nearest centroid
+   * (inverted lists); each query probes its `nProbe` nearest centroids'
+   * lists; exact cosine re-ranks candidates. The learned-bucket analogue of
+   * [[lshTopK]] (the brief's "IVF or LSH" scale path — both exist here):
+   * candidates come from an equi-join on centroid id, never an all-pairs
+   * join, and at scale the inverted lists ARE the partition layout.
+   */
+  def ivfTopK(docs: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(docs, idCol, vecCol, nCentroids, iters)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val base = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rank", centroidRank(col("v"), centLit, cents.length))
+    val assigned = base.select(col("id"), col("v"),
+      element_at(col("rank"), 1).getField("cid").as("cid"))
+    val probes = base.select(col("id").as("qid0"), col("v").as("qv"),
+        explode(transform(slice(col("rank"), 1, nProbe), s => s.getField("cid"))).as("cid"))
+    // one assigned cid per corpus row + distinct probe cids per query ⇒
+    // (qid, nn) pairs are already unique, no dedup needed
+    val cand = probes.as("q").join(assigned.as("c"),
+        col("q.cid") === col("c.cid") && col("q.qid0") =!= col("c.id"))
+      .select(col("q.qid0").as("qid"), col("c.id").as("nn"),
+        cosine(col("q.qv"), col("c.v")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nn"))
+    cand.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nn"), col("rnk"))
+  }
+
   /**
    * LSH-bucketed ANN: vectors are bucketed by hyperplane sign pattern
    * (`nPlanes` bits); candidates are same-bucket pairs, then exact cosine

@@ -160,6 +160,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 == p._1 + 1000), s"unexpected pair in $pairs")
   }
 
+  test("IVF ANN: exact twins provably rank 1; perturbed twins with high recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    // exact duplicates: identical centroid sims ⇒ identical assignment ⇒
+    // guaranteed candidate; cosine exactly 1 ⇒ the unique rank-1
+    val exact = e.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val hits = Similarity.ivfTopK(e.unionByName(exact), "vec_id", "embedding", 5)
+      .filter($"qid" < 100000L && $"nn" === $"qid" + 100000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(hits.size == 100, s"exact-twin recall ${hits.size}/100")
+    assert(hits.values.forall(_ == 1), "an exact twin was not rank 1")
+    // perturbed twins (~1e-2 relative): same nearest centroid almost always
+    val pert = e.select(($"vec_id" + 200000L).as("vec_id"),
+      transform($"embedding", x =>
+        x + (pmod(xxhash64($"vec_id", x), lit(100)).cast("float") - 50f) / 5000f)
+        .as("embedding"))
+    val pertHits = Similarity.ivfTopK(e.unionByName(pert), "vec_id", "embedding", 5)
+      .filter($"qid" < 100000L && $"nn" === $"qid" + 200000L)
+      .count()
+    assert(pertHits >= 85, s"perturbed-twin recall too low: $pertHits/100")
+  }
+
   test("signBucket inline and packed forms are bit-identical (incl. high-dim)") {
     // low-dim: the corpus embeddings under the production plane count
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -242,6 +242,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 1000).cast("long")).as("val_mills"))),
 
+    // §3.8 session windows, driver-visible through the batch analogue (the
+    // same session_window function Structured Streaming runs; the oracle
+    // rebuilds gap-based sessions with lag + cumulative break counts —
+    // Spark opens a new session when the gap is >= the threshold, so the
+    // oracle's break predicate uses >= too)
+    "q_sessions" -> ((s, d) => events(s, d)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("val_cents"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("n_events"), col("val_cents"))),
+
     // J8 as-of join (union + running last_value — never an inequality join):
     // for each error event, the latest click by the same user at or before
     // it; DuckDB's native ASOF LEFT JOIN is the oracle. No-match → -1
@@ -572,6 +584,22 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS val_mills
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "q_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS val_cents
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_asof_click" ->
       """WITH errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),

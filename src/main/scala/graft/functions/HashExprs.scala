@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.graft.ColumnShim
 
 /**
@@ -108,6 +108,52 @@ object HashExprs {
     }
     override protected def withNewChildInternal(c: Expression): FingerprintExpr = copy(child = c)
   }
+
+  /**
+   * Sequential dot product of two numeric arrays as double — bit-identical
+   * to the higher-order-function form `aggregate(zip_with(a, b, (x,y) =>
+   * x.cast(double)*y.cast(double)), 0.0, (acc,v) => acc+v)` (same
+   * left-to-right accumulation order, exact float→double widening, null
+   * result on length mismatch or null element — zip_with pads the shorter
+   * side with nulls and a null product poisons the fold), but as one
+   * compiled per-row loop. The HOF form was measured at ~15 µs per 64-dim
+   * cosine across the ANN suite — dominating every similarity query's wall
+   * time at per-element lambda-interpretation cost, the same pathology the
+   * signature expressions above fixed.
+   */
+  case class DotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+      case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
+      case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
+      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"dot over unsupported type $other")
+    }
+    @transient private lazy val getL = getter(left.dataType)
+    @transient private lazy val getR = getter(right.dataType)
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val la = l.asInstanceOf[ArrayData]
+      val ra = r.asInstanceOf[ArrayData]
+      val n  = la.numElements()
+      if (n != ra.numElements()) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (la.isNullAt(i) || ra.isNullAt(i)) return null
+        acc += getL(la, i) * getR(ra, i)
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+      copy(left = l, right = r)
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnShim.column(DotExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(shingles), numHashes))

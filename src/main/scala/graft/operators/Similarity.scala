@@ -17,8 +17,16 @@ import graft.sources.PageSynth.mix2
  */
 object Similarity {
 
-  /** Sequential-order dot product of two numeric array columns (as double). */
+  /** Sequential-order dot product of two numeric array columns (as double) —
+    * compiled per-row loop (HashExprs.DotExpr), bit-identical to the HOF
+    * fold below but ~50× cheaper per call (the HOF lambda is interpreted per
+    * element; equality pinned by spec). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.HashExprs.dot_product(a, b)
+
+  /** Reference higher-order-function form of [[dot]] (kept for the
+    * bit-equality spec — the semantics contract DotExpr must match). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
@@ -91,16 +99,26 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
-  /** Per-row centroid ranking, entirely inside one projection (zero shuffle):
-    * array of (−cosine, cid) structs sorted ascending ⇒ index 0 is the
-    * nearest centroid, prefix `nProbe` are the probe list. The centroid
-    * matrix travels as ONE typedLit literal (same packing as
-    * [[signBucketPacked]]). Ties break toward the smaller cid. */
-  private def centroidRank(v: Column, centLit: Column, n: Int): Column =
+  /** Per-row centroid ranking against UNIT-NORM centroids, entirely inside
+    * one projection (zero shuffle): array of (−dot, cid) structs sorted
+    * ascending ⇒ index 0 is the nearest centroid, prefix `nProbe` are the
+    * probe list. With unit centroids, argmax dot ≡ argmax cosine (the row's
+    * own norm is a positive per-row constant), so the per-centroid norm
+    * divisions disappear from the hot loop. The centroid matrix travels as
+    * ONE typedLit literal (same packing as [[signBucketPacked]]). Ties break
+    * toward the smaller cid. */
+  private def centroidRank(v: Column, unitCentLit: Column, n: Int): Column =
     array_sort(transform(sequence(lit(0), lit(n - 1)), i => struct(
-      (lit(0.0) - cosine(v, call_function("element_at", centLit, (i + lit(1)).cast("int"))))
-        .as("negSim"),
+      (lit(0.0) - dot(v, call_function("element_at", unitCentLit, (i + lit(1)).cast("int"))))
+        .as("negDot"),
       i.cast("int").as("cid"))))
+
+  /** Unit-normalized copies of centroid vectors (zero vectors pass through). */
+  private def unitize(cents: Array[Array[Double]]): Array[Array[Double]] =
+    cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c
+    }
 
   /**
    * Deterministic IVF coarse quantizer: `k` centroids learned with `iters`
@@ -124,7 +142,9 @@ object Similarity {
       .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(cents.nonEmpty, "empty corpus")
     for (_ <- 1 to iters) {
-      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      // assignment ranks against unit copies (cosine argmax); means still
+      // average the RAW vectors
+      val centLit = typedLit(unitize(cents).map(_.toSeq).toSeq)
       val assigned = docs.select(
         element_at(centroidRank(col("v"), centLit, cents.length), 1)
           .getField("cid").as("cid"),
@@ -153,21 +173,33 @@ object Similarity {
    * join, and at scale the inverted lists ARE the partition layout.
    */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = ivfCentroids(docs, idCol, vecCol, nCentroids, iters)
-    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+              nCentroids: Int = 0, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    // nCentroids <= 0 → balance the two cost terms N·nlist (centroid ranking)
+    // and N·nProbe·N/nlist (candidate verification): nlist* = √(nProbe·N),
+    // clamped. At 5000 vectors this is ~141 lists of ~35 — 16 fixed lists
+    // measured 4× slower (312-member lists ⇒ 6M candidate cosines).
+    val nC =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.min(4096,
+        math.round(math.sqrt(nProbe.toDouble * docs.count())).toInt))
+    val cents = ivfCentroids(docs, idCol, vecCol, nC, iters)
+    val centLit = typedLit(unitize(cents).map(_.toSeq).toSeq)
+    // rank + per-row norm computed ONCE and persisted (two consumers below);
+    // candidate cosine = dot / (precomputed norms) — no norm recompute per pair
     val base = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nv", norm(col("v")))
       .withColumn("rank", centroidRank(col("v"), centLit, cents.length))
-    val assigned = base.select(col("id"), col("v"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = base.select(col("id"), col("v"), col("nv"),
       element_at(col("rank"), 1).getField("cid").as("cid"))
-    val probes = base.select(col("id").as("qid0"), col("v").as("qv"),
+    val probes = base.select(col("id").as("qid0"), col("v").as("qv"), col("nv").as("qnv"),
         explode(transform(slice(col("rank"), 1, nProbe), s => s.getField("cid"))).as("cid"))
     // one assigned cid per corpus row + distinct probe cids per query ⇒
     // (qid, nn) pairs are already unique, no dedup needed
     val cand = probes.as("q").join(assigned.as("c"),
         col("q.cid") === col("c.cid") && col("q.qid0") =!= col("c.id"))
       .select(col("q.qid0").as("qid"), col("c.id").as("nn"),
-        cosine(col("q.qv"), col("c.v")).as("sim"))
+        (dot(col("q.qv"), col("c.v")) / (col("q.qnv") * col("c.nv"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nn"))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

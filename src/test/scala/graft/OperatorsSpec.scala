@@ -160,6 +160,30 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall(p => p._2 == p._1 + 1000), s"unexpected pair in $pairs")
   }
 
+  test("compiled dot expression is bit-identical to the HOF fold") {
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val rows = e.select(
+        Similarity.dot($"embedding", reverse($"embedding")).as("a"),
+        Similarity.dotHof($"embedding", reverse($"embedding")).as("b"),
+        // float × double mix (arithmetic promotes arrays to double)
+        Similarity.dot($"embedding",
+          transform($"embedding", x => x.cast("double") * lit(1.5))).as("c"),
+        Similarity.dotHof($"embedding",
+          transform($"embedding", x => x.cast("double") * lit(1.5))).as("d"),
+        // length mismatch → null in both forms
+        Similarity.dot($"embedding", slice($"embedding", 1, 10)).as("n1"),
+        Similarity.dotHof($"embedding", slice($"embedding", 1, 10)).as("n2"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(bits(r.getDouble(0)) == bits(r.getDouble(1)))
+      assert(bits(r.getDouble(2)) == bits(r.getDouble(3)))
+      assert(r.isNullAt(4) && r.isNullAt(5))
+    }
+  }
+
   test("IVF ANN: exact twins provably rank 1; perturbed twins with high recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 100).select($"vec_id", $"embedding")

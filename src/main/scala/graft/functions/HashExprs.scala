@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
@@ -120,9 +120,17 @@ object HashExprs {
    * cosine across the ANN suite — dominating every similarity query's wall
    * time at per-element lambda-interpretation cost, the same pathology the
    * signature expressions above fixed.
+   *
+   * Unlike the signature expressions (whose consumers are Generates that
+   * bound the fusion region anyway — CodegenFallback deferred with data),
+   * DotExpr sits in fused projections and join conditions of the ANN hot
+   * path, so it implements REAL `doGenCode`: the per-row loop is emitted
+   * into the WholeStageCodegen body instead of an eval() call boundary.
+   * Interpreted `nullSafeEval` is kept for non-codegen contexts and is
+   * bit-identical (same loop).
    */
   case class DotExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
@@ -130,6 +138,14 @@ object HashExprs {
       case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
       case ArrayType(LongType, _)    => (a, i) => a.getLong(i).toDouble
       case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"dot over unsupported type $other")
+    }
+    /** Java accessor snippet for one element of an array of this type. */
+    private def getterJava(dt: DataType, arr: String, i: String): String = dt match {
+      case ArrayType(FloatType, _)   => s"(double) $arr.getFloat($i)"
+      case ArrayType(DoubleType, _)  => s"$arr.getDouble($i)"
+      case ArrayType(LongType, _)    => s"(double) $arr.getLong($i)"
+      case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
       case other => throw new IllegalArgumentException(s"dot over unsupported type $other")
     }
     @transient private lazy val getL = getter(left.dataType)
@@ -148,6 +164,27 @@ object HashExprs {
       }
       java.lang.Double.valueOf(acc)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (la, ra) => {
+        val n    = ctx.freshName("n")
+        val i    = ctx.freshName("i")
+        val acc  = ctx.freshName("acc")
+        val bad  = ctx.freshName("bad")
+        s"""
+           |final int $n = $la.numElements();
+           |if ($n != $ra.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($la.isNullAt($i) || $ra.isNullAt($i)) { $bad = true; break; }
+           |    $acc += ${getterJava(left.dataType, la, i)} * ${getterJava(right.dataType, ra, i)};
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
       copy(left = l, right = r)
   }

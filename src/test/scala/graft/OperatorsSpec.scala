@@ -184,6 +184,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("DotExpr codegen compiles under CODEGEN_ONLY and fuses into WholeStageCodegen") {
+    // FALLBACK (the default) masks a broken doGenCode by silently
+    // interpreting; CODEGEN_ONLY makes any codegen defect throw here
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val df = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.dot(col("embedding"), reverse(col("embedding"))).as("d"))
+    assert(df.collect().nonEmpty)
+    // and the projection stays inside a WholeStageCodegen region (the
+    // CodegenFallback signature expressions sit inside one too, but via an
+    // eval call — DotExpr's loop is emitted into the generated body)
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(wsc.exists(_.toString().contains("Project")), "dot projection not fused")
+  }
+
   test("IVF ANN: exact twins provably rank 1; perturbed twins with high recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 100).select($"vec_id", $"embedding")

@@ -100,6 +100,70 @@ object DocGraph {
     sb.toString
   }
 
+  /**
+   * Exactly k personalized-PageRank supersteps (random walk with restart to
+   * the seed set `vid % 100 == 0`): r₀ = uniform over seeds;
+   * rᵢ₊₁(v) = (1−d)·p(v) + d·(Σ_{u→v} rᵢ(u)/out(u) + danglingᵢ·p(v)), with
+   * dangling mass restarted at the seeds (Σ r stays exactly 1). Same
+   * integer pinning and cross-engine arithmetic-order discipline as
+   * [[prIter]] (the 1e7 floor absorbs the ≲1e-11 partial-sum-order drift).
+   */
+  def pprIter(spark: SparkSession, sfDir: String, k: Int,
+              d: Double = 0.85): DataFrame = {
+    val e      = edges(spark, sfDir)
+    val verts  = GraphOps.vertices(e)
+    val outdeg = GraphOps.outDegrees(e)
+    val nS = verts.filter(col("vid") % 100 === 0).count().toDouble
+    require(nS > 0, "no seed vertices")
+    var r = verts.select(col("vid"),
+      when(col("vid") % 100 === 0, lit(1.0 / nS)).otherwise(lit(0.0)).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      val sums = e.join(r, e("src") === r("vid"))
+        .join(outdeg.withColumnRenamed("vid", "ov").withColumnRenamed("outDeg", "c"),
+          e("src") === col("ov"))
+        .groupBy(e("dst").as("dvid")).agg(sum(col("r") / col("c")).as("s"))
+        .localCheckpoint(true)
+      val tRow = sums.agg(sum("s")).first()
+      val transmitted = if (tRow.isNullAt(0)) 0.0 else tRow.getDouble(0)
+      val dm = 1.0 - transmitted
+      r = verts.join(sums, verts("vid") === sums("dvid"), "left")
+        .select(verts("vid"),
+          (when(verts("vid") % 100 === 0,
+            lit((1.0 - d) / nS) + lit(d * dm / nS)).otherwise(lit(0.0))
+            + lit(d) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("vid"),
+      floor(col("r") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"ppr${k}e7"))
+  }
+
+  /** Oracle SQL for exactly k personalized-PageRank supersteps. */
+  def pprIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |sd AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS ns FROM verts WHERE vid % 100 = 0),
+        |p0 AS MATERIALIZED (SELECT v.vid,
+        |        CASE WHEN v.vid % 100 = 0 THEN CAST(1.0 AS DOUBLE)/sd.ns ELSE CAST(0.0 AS DOUBLE) END AS r
+        |        FROM verts v CROSS JOIN sd)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |ps$i AS MATERIALIZED (SELECT e.dst AS vid, sum(p${i - 1}.r / o.c) AS s
+        |        FROM edges e JOIN p${i - 1} ON e.src = p${i - 1}.vid JOIN outdeg o ON e.src = o.vid
+        |        GROUP BY e.dst),
+        |pd$i AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) - sum(s) AS dm FROM ps$i),
+        |p$i AS MATERIALIZED (SELECT v.vid,
+        |        CASE WHEN v.vid % 100 = 0
+        |          THEN CAST(0.15 AS DOUBLE)/sd.ns + CAST(0.85 AS DOUBLE)*pd$i.dm/sd.ns
+        |          ELSE CAST(0.0 AS DOUBLE) END
+        |          + CAST(0.85 AS DOUBLE)*coalesce(ps$i.s, 0) AS r
+        |        FROM verts v CROSS JOIN sd CROSS JOIN pd$i LEFT JOIN ps$i ON v.vid = ps$i.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, CAST(floor(r*1e7 + 0.500001) AS BIGINT) AS ppr${k}e7 FROM p$k")
+    sb.toString
+  }
+
   /** Exactly k HashMin connected-component supersteps (exact integer labels). */
   def ccIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val sym = GraphOps.symmetrized(edges(spark, sfDir))

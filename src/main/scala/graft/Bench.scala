@@ -57,8 +57,11 @@ object Bench {
 
   /** One measured run with its own contention context. */
   private final case class Run(sec: Double, load: String, stealPct: Double, busyPct: Double) {
+    // Double.toString is locale-independent; the f-interpolator is NOT (a
+    // comma-decimal default locale would corrupt the one JSON output line)
+    private def r(v: Double, dp: Double): String = (math.rint(v * dp) / dp).toString
     def json: String =
-      f"""{"sec":$sec%.3f,"load":"$load","steal_pct":$stealPct%.2f,"busy_pct":$busyPct%.1f}"""
+      s"""{"sec":${r(sec, 1000)},"load":"$load","steal_pct":${r(stealPct, 100)},"busy_pct":${r(busyPct, 10)}}"""
   }
 
   /** Times `body`, sandwiching it between /proc snapshots. */
@@ -198,7 +201,10 @@ object Bench {
         spark.catalog.clearCache()
         k += 1
       }
-      results(name) = if (failed) -1.0 else runs.map(_.sec).min
+      // a successful earlier run is still a valid measurement even if a
+      // best-of-k REPEAT later throws — only a query with zero successful
+      // runs records the -1 failure marker
+      results(name) = if (runs.isEmpty) -1.0 else runs.map(_.sec).min
       if (runs.nonEmpty) runLog(name) = runs
     }
 

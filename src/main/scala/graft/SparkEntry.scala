@@ -32,19 +32,27 @@ object SparkEntry {
   private val DocTwinOff = 10000000L
   private val EmbTwinOff = 1000000L
 
+  /** Per-JVM memo hygiene: entries are keyed by applicationId, so a stopped
+    * session's entries are never hit again — but they would pin that
+    * session's plans forever in a long-lived JVM. Each memo access first
+    * drops entries belonging to stopped contexts. */
+  private def pruneStopped[V](m: java.util.concurrent.ConcurrentHashMap[String, (SparkSession, V)]): Unit =
+    m.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+
   private val headroomMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, java.lang.Long)]()
 
   private def requireIdHeadroom(s: SparkSession, dir: String, df: DataFrame,
                                 idCol: String, off: Long): Unit = {
     // max-id is a property of the immutable corpus — one scan per JVM per
     // (dir, id column), not one per gate query
+    pruneStopped(headroomMemo)
     val maxId = headroomMemo.computeIfAbsent(
       s.sparkContext.applicationId + "@" + dir + "@" + idCol,
       _ => {
         val m = df.agg(max(col(idCol))).first()
-        if (m.isNullAt(0)) -1L else m.getLong(0)
-      }).longValue()
+        (s, if (m.isNullAt(0)) -1L else m.getLong(0))
+      })._2.longValue()
     require(maxId < off,
       s"twin offset $off collides with real $idCol ids (max=$maxId) — " +
         "planted-pair oracles would alias natural pairs; raise the offset")
@@ -59,14 +67,16 @@ object SparkEntry {
     * bench sweep; keyed by applicationId so a stopped test session's entries
     * are never resurrected. */
   private val lshIndexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, (DataFrame, DataFrame))]()
 
-  private def lshIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def lshIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    pruneStopped(lshIndexMemo)
     lshIndexMemo.computeIfAbsent(s.sparkContext.applicationId + "@" + dir, _ => {
       val sigs = Dedup.signatures(docs(s, dir), "doc_id", "text").localCheckpoint(true)
       val bk   = Dedup.cappedBuckets(sigs).localCheckpoint(true)
-      (sigs, bk)
-    })
+      (s, (sigs, bk))
+    })._2
+  }
 
   /** Exact-duplicate twins of every embedding row (perturbation 0). Chosen so
     * the recall gates are PROVABLE: an identical vector lands in the identical

@@ -79,7 +79,11 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
   def snapshotMeta(table: String, id: Long): SnapshotMeta = {
     val f = metaDir(table).resolve(s"snap-$id.json").toFile
     val n = mapper.readTree(f)
-    if (n.path("formatVersion").asInt(1) >= IcebergLikeStore.FormatVersion)
+    // EXACTLY the current version goes through strict databind; v1 AND any
+    // future version (a newer build's manifest read after rollback) take the
+    // tolerant tree parse — strict databind on unknown versions would throw
+    // on their added fields and make the checkpoint root unreadable
+    if (n.path("formatVersion").asInt(1) == IcebergLikeStore.FormatVersion)
       return mapper.readValue(f, classOf[SnapshotMeta])
     val dataDir = n.path("dataDir").asText()
     val files = n.path("files").elements().asScala.map { f =>

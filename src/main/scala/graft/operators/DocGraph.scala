@@ -138,8 +138,13 @@ object DocGraph {
       floor(col("r") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"ppr${k}e7"))
   }
 
-  /** Oracle SQL for exactly k personalized-PageRank supersteps. */
-  def pprIterSql(k: Int): String = {
+  /** Oracle SQL for exactly k personalized-PageRank supersteps. `d` must
+    * match the engine call's damping — the constants are generated from it
+    * (Double.toString round-trips exactly through DuckDB's literal parser),
+    * so a non-default damping can't silently diverge from its oracle. */
+  def pprIterSql(k: Int, d: Double = 0.85): String = {
+    val restart = (1.0 - d).toString
+    val damp    = d.toString
     val sb = new StringBuilder(graphCtes)
     sb.append(
       """,
@@ -155,9 +160,9 @@ object DocGraph {
         |pd$i AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) - sum(s) AS dm FROM ps$i),
         |p$i AS MATERIALIZED (SELECT v.vid,
         |        CASE WHEN v.vid % 100 = 0
-        |          THEN CAST(0.15 AS DOUBLE)/sd.ns + CAST(0.85 AS DOUBLE)*pd$i.dm/sd.ns
+        |          THEN CAST($restart AS DOUBLE)/sd.ns + CAST($damp AS DOUBLE)*pd$i.dm/sd.ns
         |          ELSE CAST(0.0 AS DOUBLE) END
-        |          + CAST(0.85 AS DOUBLE)*coalesce(ps$i.s, 0) AS r
+        |          + CAST($damp AS DOUBLE)*coalesce(ps$i.s, 0) AS r
         |        FROM verts v CROSS JOIN sd CROSS JOIN pd$i LEFT JOIN ps$i ON v.vid = ps$i.vid)""".stripMargin)
     }
     sb.append(s"\nSELECT vid, CAST(floor(r*1e7 + 0.500001) AS BIGINT) AS ppr${k}e7 FROM p$k")

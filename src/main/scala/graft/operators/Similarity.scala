@@ -201,9 +201,15 @@ object Similarity {
       .select(col("q.qid0").as("qid"), col("c.id").as("nn"),
         (dot(col("q.qv"), col("c.v")) / (col("q.qnv") * col("c.nv"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), col("nn"))
-    cand.withColumn("rnk", row_number().over(w))
+    val out = cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nn"), col("rnk"))
+      // materialize the (k-per-query) result NOW so the corpus-sized ranked
+      // cache can be released immediately — same narrow-persist-lifetime
+      // convention as Dedup.nearDuplicates / Triangles.perVertex
+      .localCheckpoint(true)
+    base.unpersist(false)
+    out
   }
 
   /**

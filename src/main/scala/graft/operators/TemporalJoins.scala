@@ -91,14 +91,18 @@ object TemporalJoins {
       .withColumn("__bin", explode(array(bin(col("__lus")) - 1, bin(col("__lus")))))
     val r = right.select(col(keyCol).as("__rk"), us(col(rtsCol)).as("__rus"))
       .withColumn("__bin", bin(col("__rus")))
-    val hits = l.join(r,
+    // LEFT join + count of matched right rows: a left row with zero matches
+    // keeps its group (count 0) and NULL-valued left columns stay correct —
+    // no join-back on possibly-null columns. The two bin-copies of each left
+    // row regroup into one group; their bins are disjoint, so matched rights
+    // are counted exactly once. Fully identical left rows are merged by the
+    // groupBy (they are indistinguishable as rows) — pass an id-carrying
+    // left for per-row counts.
+    l.join(r,
         l(keyCol) === r("__rk") && l("__bin") === r("__bin") &&
-          r("__rus") >= l("__lus") - windowMicros && r("__rus") < l("__lus"))
-      .groupBy(lCols.map(l(_)): _*).agg(count(lit(1)).as("n_in_range"))
-    // left rows with zero candidates drop out of the inner join — restore
-    // them with a left join back (keys of `left` rows are assumed unique per
-    // row via its own columns; callers pass an id-carrying left)
-    left.join(hits, lCols, "left")
-      .select(lCols.map(col) :+ coalesce(col("n_in_range"), lit(0L)).as("n_in_range"): _*)
+          r("__rus") >= l("__lus") - windowMicros && r("__rus") < l("__lus"),
+        "left")
+      .groupBy(lCols.map(l(_)): _*)
+      .agg(count(col("__rus")).as("n_in_range"))
   }
 }

@@ -27,9 +27,11 @@ object TextOps {
   /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
     * non-alnum marks — the GPT-2-style pre-split a subword tokenizer counts
     * over. Restricted to explicit ASCII classes so Java regex (Spark) and
-    * RE2 (DuckDB) agree character-for-character — no \\w/\\b whose unicode
-    * semantics differ between engines. */
-  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * RE2 (DuckDB) agree character-for-character — no \\w/\\b (unicode
+    * semantics differ) and no \\s: Java's \\s includes vertical tab \\x0B,
+    * RE2's does not (verified divergence), so the whitespace set is spelled
+    * out explicitly. */
+  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Subword-run token count under [[BpeishPattern]] (an upper-ish proxy for
     * BPE token counts that needs no vocabulary — the standard cheap budget

@@ -45,6 +45,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
   }
 
+  test("countInRange keeps rows with NULL payload columns") {
+    // regression: the former inner-join + join-back-on-all-columns pattern
+    // silently returned 0 for left rows with a NULL column (null-unsafe
+    // equality); the left-join + count-matched form must count them normally
+    val w = 100L * 1000000L
+    val left = Seq((1L, Option("x"), ts(1000)), (1L, Option.empty[String], ts(1000)))
+      .toDF("k", "tag", "t")
+    val right = Seq((1L, ts(950))).toDF("k", "t")
+    val got = TemporalJoins.countInRange(left, right, "k", "t", "t", w)
+      .select($"tag", $"n_in_range").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("x") -> 1L, None -> 1L))
+  }
+
   test("both joins match the brute-force oracle on real events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", col("ts").cast("timestamp"))

@@ -169,6 +169,65 @@ object DocGraph {
     sb.toString
   }
 
+  /**
+   * Exactly k HITS iterations (Kleinberg 1999): h₀ = 1;
+   * aᵢ(v) = Σ_{u→v} hᵢ₋₁(u), L1-normalized; hᵢ(v) = Σ_{v→w} aᵢ(w),
+   * L1-normalized. L1 (not the textbook L2) keeps every operation a
+   * sum/divide with bit-reproducible cross-engine shape — the fixed-point
+   * direction is identical and the e7 floor pins the output exactly, the
+   * same discipline as [[prIter]]/[[pprIter]].
+   */
+  def hitsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val e     = edges(spark, sfDir)
+    val verts = GraphOps.vertices(e)
+    var h = verts.select(col("vid"), lit(1.0).as("h")).localCheckpoint(true)
+    var a = h.select(col("vid"), col("h").as("a")) // overwritten in iteration 1
+    for (_ <- 1 to k) {
+      val ar = e.join(h, e("src") === h("vid"))
+        .groupBy(e("dst").as("dvid")).agg(sum(col("h")).as("s"))
+        .localCheckpoint(true)
+      val aSum = Option(ar.agg(sum("s")).first().get(0)).fold(1.0)(_.asInstanceOf[Double])
+      a = verts.join(ar, verts("vid") === ar("dvid"), "left")
+        .select(verts("vid"), (coalesce(col("s"), lit(0.0)) / lit(aSum)).as("a"))
+        .localCheckpoint(true)
+      val hr = e.join(a, e("dst") === a("vid"))
+        .groupBy(e("src").as("svid")).agg(sum(col("a")).as("s"))
+        .localCheckpoint(true)
+      val hSum = Option(hr.agg(sum("s")).first().get(0)).fold(1.0)(_.asInstanceOf[Double])
+      h = verts.join(hr, verts("vid") === hr("svid"), "left")
+        .select(verts("vid"), (coalesce(col("s"), lit(0.0)) / lit(hSum)).as("h"))
+        .localCheckpoint(true)
+    }
+    a.join(h, Seq("vid"))
+      .select(col("vid"),
+        floor(col("a") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"auth${k}e7"),
+        floor(col("h") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"hub${k}e7"))
+  }
+
+  /** Oracle SQL for exactly k HITS iterations (L1-normalized, see [[hitsIter]]). */
+  def hitsIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(",\nh0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS h FROM verts)")
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |ar$i AS MATERIALIZED (SELECT e.dst AS vid, sum(h${i - 1}.h) AS s
+        |        FROM edges e JOIN h${i - 1} ON e.src = h${i - 1}.vid GROUP BY e.dst),
+        |at$i AS MATERIALIZED (SELECT sum(s) AS t FROM ar$i),
+        |a$i AS MATERIALIZED (SELECT v.vid, coalesce(ar$i.s, CAST(0.0 AS DOUBLE))/at$i.t AS a
+        |        FROM verts v CROSS JOIN at$i LEFT JOIN ar$i ON v.vid = ar$i.vid),
+        |hr$i AS MATERIALIZED (SELECT e.src AS vid, sum(a$i.a) AS s
+        |        FROM edges e JOIN a$i ON e.dst = a$i.vid GROUP BY e.src),
+        |ht$i AS MATERIALIZED (SELECT sum(s) AS t FROM hr$i),
+        |h$i AS MATERIALIZED (SELECT v.vid, coalesce(hr$i.s, CAST(0.0 AS DOUBLE))/ht$i.t AS h
+        |        FROM verts v CROSS JOIN ht$i LEFT JOIN hr$i ON v.vid = hr$i.vid)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT a$k.vid, CAST(floor(a*1e7 + 0.500001) AS BIGINT) AS auth${k}e7,
+      |       CAST(floor(h*1e7 + 0.500001) AS BIGINT) AS hub${k}e7
+      |FROM a$k JOIN h$k ON a$k.vid = h$k.vid""".stripMargin)
+    sb.toString
+  }
+
   /** Exactly k HashMin connected-component supersteps (exact integer labels). */
   def ccIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val sym = GraphOps.symmetrized(edges(spark, sfDir))

@@ -165,6 +165,8 @@ object SparkEntry {
     "q_ppr_iter3" -> ((s, d) => DocGraph.pprIter(s, d, 3)),
     // HITS hubs & authorities, L1-normalized fixed-k with an exact oracle
     "q_hits_iter2" -> ((s, d) => DocGraph.hitsIter(s, d, 2)),
+    // multi-source BFS distances from the vid%100 seed set (exact integers)
+    "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
     "q_lp_iter2" -> ((s, d) => DocGraph.lpIter(s, d, 2)),
 
@@ -532,6 +534,7 @@ object SparkEntry {
     "q_pr_iter3" -> DocGraph.prIterSql(3),
     "q_ppr_iter3" -> DocGraph.pprIterSql(3),
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
+    "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
     "q_lp_iter2" -> DocGraph.lpIterSql(2),
 

@@ -228,6 +228,47 @@ object DocGraph {
     sb.toString
   }
 
+  /**
+   * Exactly k multi-source BFS supersteps over DIRECTED edges from the
+   * vid%100 seed set: dist₀ = 0 at seeds; distᵢ₊₁(v) = min(distᵢ(v),
+   * min_{u→v} distᵢ(u)+1). Exact integer arithmetic — unreached vertices
+   * report -1 (a NULL-free sentinel for the driver's hash compare).
+   */
+  def bfsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val e     = edges(spark, sfDir)
+    val verts = GraphOps.vertices(e)
+    var dist = verts.select(col("vid"),
+      when(col("vid") % 100 === 0, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
+    for (_ <- 1 to k) {
+      val msgs = e.join(dist, e("src") === dist("vid"))
+        .filter(col("d").isNotNull)
+        .select(e("dst").as("vid"), (col("d") + 1L).as("d"))
+      dist = msgs.unionByName(dist.select(col("vid"), col("d")))
+        .groupBy("vid").agg(min(col("d")).as("d"))
+    }
+    dist.select(col("vid"), coalesce(col("d"), lit(-1L)).as(s"dist$k"))
+  }
+
+  /** Oracle SQL for exactly k multi-source BFS supersteps (see [[bfsIter]]). */
+  def bfsIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |b0 AS MATERIALIZED (SELECT vid,
+        |        CASE WHEN vid % 100 = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS d FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |b$i AS MATERIALIZED (SELECT vid, min(d) AS d FROM (
+        |          SELECT e.dst AS vid, b${i - 1}.d + 1 AS d
+        |          FROM edges e JOIN b${i - 1} ON e.src = b${i - 1}.vid
+        |          WHERE b${i - 1}.d IS NOT NULL
+        |          UNION ALL SELECT vid, d FROM b${i - 1}
+        |        ) GROUP BY vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, coalesce(d, -1) AS dist$k FROM b$k")
+    sb.toString
+  }
+
   /** Exactly k HashMin connected-component supersteps (exact integer labels). */
   def ccIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val sym = GraphOps.symmetrized(edges(spark, sfDir))

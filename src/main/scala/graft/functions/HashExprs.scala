@@ -192,6 +192,67 @@ object HashExprs {
   def dot_product(a: Column, b: Column): Column =
     ColumnShim.column(DotExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /**
+   * Top-`top` centroid ids for a vector, by dot product against a fixed
+   * centroid matrix (descending dot, ties toward the smaller cid) — one
+   * compiled per-row selection loop. The declarative form
+   * (`array_sort(transform(sequence(...), i -> struct(-dot, cid)))`) sorts
+   * ALL nlist entries per row with an interpreted struct comparator;
+   * measured at nlist≈900 that dominated the whole IVF pipeline (~12 min at
+   * 200k vectors vs seconds for the candidate join). Selection of `top`
+   * out of nlist is O(nlist·dim + nlist·top) per row, all in one loop.
+   * CodegenFallback: like the signature expressions, the per-row loop IS
+   * the work, and the consumer is an explode (Generate) anyway.
+   */
+  case class CentroidTopExpr(child: Expression, cents: Array[Array[Double]], top: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+      case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(s"centroid_top over unsupported $other")
+    }
+    @transient private lazy val get = getter(child.dataType)
+    override def nullSafeEval(input: Any): Any = {
+      val v   = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val k   = math.min(top, cents.length)
+      val bestDot = new Array[Double](k)
+      val bestCid = new Array[Int](k)
+      var filled = 0
+      var c = 0
+      while (c < cents.length) {
+        val plane = cents(c)
+        val n = math.min(dim, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += get(v, i) * plane(i); i += 1 }
+        // insert (s, c): list kept sorted by dot desc; cids arrive ascending,
+        // so bubbling only past STRICTLY smaller dots keeps equal-dot ties
+        // ordered by smaller cid first — same total order as (−dot, cid)
+        if (filled < k) {
+          var pos = filled
+          while (pos > 0 && bestDot(pos - 1) < s) {
+            bestDot(pos) = bestDot(pos - 1); bestCid(pos) = bestCid(pos - 1); pos -= 1
+          }
+          bestDot(pos) = s; bestCid(pos) = c; filled += 1
+        } else if (s > bestDot(k - 1)) {
+          var pos = k - 1
+          while (pos > 0 && bestDot(pos - 1) < s) {
+            bestDot(pos) = bestDot(pos - 1); bestCid(pos) = bestCid(pos - 1); pos -= 1
+          }
+          bestDot(pos) = s; bestCid(pos) = c
+        }
+        c += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(bestCid, filled))
+    }
+    override protected def withNewChildInternal(c: Expression): CentroidTopExpr = copy(child = c)
+  }
+
+  def centroid_top(vec: Column, cents: Array[Array[Double]], top: Int): Column =
+    ColumnShim.column(CentroidTopExpr(ColumnShim.expression(vec), cents, top))
+
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(shingles), numHashes))
 

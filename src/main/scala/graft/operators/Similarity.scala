@@ -99,19 +99,17 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN --------------------------------------------
 
-  /** Per-row centroid ranking against UNIT-NORM centroids, entirely inside
-    * one projection (zero shuffle): array of (−dot, cid) structs sorted
-    * ascending ⇒ index 0 is the nearest centroid, prefix `nProbe` are the
-    * probe list. With unit centroids, argmax dot ≡ argmax cosine (the row's
-    * own norm is a positive per-row constant), so the per-centroid norm
-    * divisions disappear from the hot loop. The centroid matrix travels as
-    * ONE typedLit literal (same packing as [[signBucketPacked]]). Ties break
-    * toward the smaller cid. */
-  private def centroidRank(v: Column, unitCentLit: Column, n: Int): Column =
-    array_sort(transform(sequence(lit(0), lit(n - 1)), i => struct(
-      (lit(0.0) - dot(v, call_function("element_at", unitCentLit, (i + lit(1)).cast("int"))))
-        .as("negDot"),
-      i.cast("int").as("cid"))))
+  /** Per-row top-`top` centroid ids against UNIT-NORM centroids, one
+    * compiled selection loop per row (HashExprs.CentroidTopExpr) — zero
+    * shuffle, element 1 is the assignment, the whole array is the probe
+    * list. With unit centroids, argmax dot ≡ argmax cosine (the row's own
+    * norm is a positive per-row constant), so no norm division in the hot
+    * loop. A declarative array_sort-of-structs form was measured ~100×
+    * slower at nlist≈900 (interpreted struct comparator over every list per
+    * row — it dominated the IVF pipeline end to end). Ties break toward the
+    * smaller cid. */
+  private def centroidRank(v: Column, unitCents: Array[Array[Double]], top: Int): Column =
+    graft.functions.HashExprs.centroid_top(v, unitCents, top)
 
   /** Unit-normalized copies of centroid vectors (zero vectors pass through). */
   private def unitize(cents: Array[Array[Double]]): Array[Array[Double]] =
@@ -144,10 +142,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       // assignment ranks against unit copies (cosine argmax); means still
       // average the RAW vectors
-      val centLit = typedLit(unitize(cents).map(_.toSeq).toSeq)
       val assigned = docs.select(
-        element_at(centroidRank(col("v"), centLit, cents.length), 1)
-          .getField("cid").as("cid"),
+        element_at(centroidRank(col("v"), unitize(cents), 1), 1).as("cid"),
         col("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")))
@@ -171,29 +167,38 @@ object Similarity {
    * [[lshTopK]] (the brief's "IVF or LSH" scale path — both exist here):
    * candidates come from an equi-join on centroid id, never an all-pairs
    * join, and at scale the inverted lists ARE the partition layout.
+   *
+   * SCALE ENVELOPE (measured, AnnScaleProbe): single-level IVF's candidate
+   * volume is N·nProbe·N/nlist rows through the re-rank shuffle; with nlist
+   * clamped (ranking cost is N·nlist dots) this grows quadratically in N —
+   * ~2 B candidate rows at 1 M vectors. Flat IVF is therefore the
+   * 10⁴–10⁶-vector tool; past that use [[lshTopK]] (bucket count grows with
+   * the corpus at constant per-row cost) or layer a coarse quantizer over
+   * these same primitives (two-level IVF: route to a super-list first).
    */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 0, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    // nCentroids <= 0 → balance the two cost terms N·nlist (centroid ranking)
-    // and N·nProbe·N/nlist (candidate verification): nlist* = √(nProbe·N),
-    // clamped. At 5000 vectors this is ~141 lists of ~35 — 16 fixed lists
-    // measured 4× slower (312-member lists ⇒ 6M candidate cosines).
+    // nCentroids <= 0 → balance ranking (N·nlist compiled dots, ~20 ns each)
+    // against candidate verification (N·nProbe·N/nlist rows through a join +
+    // window SHUFFLE, ~1 µs each): nlist* = √(w·nProbe·N) with the measured
+    // ~50× cost ratio w, clamped. A fixed 16 lists measured 4× slower at
+    // 2000 vectors; the unweighted √(nProbe·N) left a 179M-row candidate
+    // shuffle dominating at 200k vectors.
     val nC =
       if (nCentroids > 0) nCentroids
       else math.max(16, math.min(4096,
-        math.round(math.sqrt(nProbe.toDouble * docs.count())).toInt))
+        math.round(math.sqrt(50.0 * nProbe * docs.count())).toInt))
     val cents = ivfCentroids(docs, idCol, vecCol, nC, iters)
-    val centLit = typedLit(unitize(cents).map(_.toSeq).toSeq)
     // rank + per-row norm computed ONCE and persisted (two consumers below);
     // candidate cosine = dot / (precomputed norms) — no norm recompute per pair
     val base = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nv", norm(col("v")))
-      .withColumn("rank", centroidRank(col("v"), centLit, cents.length))
+      .withColumn("rank", centroidRank(col("v"), unitize(cents), nProbe))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = base.select(col("id"), col("v"), col("nv"),
-      element_at(col("rank"), 1).getField("cid").as("cid"))
+      element_at(col("rank"), 1).as("cid"))
     val probes = base.select(col("id").as("qid0"), col("v").as("qv"), col("nv").as("qnv"),
-        explode(transform(slice(col("rank"), 1, nProbe), s => s.getField("cid"))).as("cid"))
+        explode(col("rank")).as("cid"))
     // one assigned cid per corpus row + distinct probe cids per query ⇒
     // (qid, nn) pairs are already unique, no dedup needed
     val cand = probes.as("q").join(assigned.as("c"),

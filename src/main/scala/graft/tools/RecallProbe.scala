@@ -25,7 +25,8 @@ object RecallProbe {
       val planted = Map(
         "q_neardup_minhash_recall"   -> (nDocs + 9) / 10,
         "q_neardup_embedding_recall" -> nEmb,
-        "q_ann_lsh_recall"           -> math.min(50L, nEmb))
+        "q_ann_lsh_recall"           -> math.min(50L, nEmb),
+        "q_ann_ivf_recall"           -> math.min(50L, nEmb))
       for (q <- planted.keys.toSeq.sorted) {
         val got = graft.SparkEntry.queries(q)(spark, d).count()
         val want = planted(q)

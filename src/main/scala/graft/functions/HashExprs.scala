@@ -207,6 +207,7 @@ object HashExprs {
   case class CentroidTopExpr(child: Expression, cents: Array[Array[Double]], top: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
     private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
       case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
       case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
@@ -216,6 +217,9 @@ object HashExprs {
     override def nullSafeEval(input: Any): Any = {
       val v   = input.asInstanceOf[ArrayData]
       val dim = v.numElements()
+      // dimension mismatch → null, same contract as DotExpr — scoring a
+      // common prefix would return a plausible-but-wrong probe list
+      if (cents.exists(_.length != dim)) return null
       val k   = math.min(top, cents.length)
       val bestDot = new Array[Double](k)
       val bestCid = new Array[Int](k)
@@ -223,10 +227,9 @@ object HashExprs {
       var c = 0
       while (c < cents.length) {
         val plane = cents(c)
-        val n = math.min(dim, plane.length)
         var s = 0.0
         var i = 0
-        while (i < n) { s += get(v, i) * plane(i); i += 1 }
+        while (i < dim) { s += get(v, i) * plane(i); i += 1 }
         // insert (s, c): list kept sorted by dot desc; cids arrive ascending,
         // so bubbling only past STRICTLY smaller dots keeps equal-dot ties
         // ordered by smaller cid first — same total order as (−dot, cid)

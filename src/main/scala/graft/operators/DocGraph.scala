@@ -100,6 +100,14 @@ object DocGraph {
     sb.toString
   }
 
+  /** Nullable global double sum as a driver scalar — the one audited idiom
+    * behind the fixed-k iterative drivers' normalization/dangling terms
+    * (`ifEmpty` covers the empty-frontier case each caller documents). */
+  private def scalarSum(df: DataFrame, c: String, ifEmpty: Double): Double = {
+    val r = df.agg(sum(c)).first()
+    if (r.isNullAt(0)) ifEmpty else r.getDouble(0)
+  }
+
   /**
    * Exactly k personalized-PageRank supersteps (random walk with restart to
    * the seed set `vid % 100 == 0`): r₀ = uniform over seeds;
@@ -124,9 +132,7 @@ object DocGraph {
           e("src") === col("ov"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("r") / col("c")).as("s"))
         .localCheckpoint(true)
-      val tRow = sums.agg(sum("s")).first()
-      val transmitted = if (tRow.isNullAt(0)) 0.0 else tRow.getDouble(0)
-      val dm = 1.0 - transmitted
+      val dm = 1.0 - scalarSum(sums, "s", ifEmpty = 0.0)
       r = verts.join(sums, verts("vid") === sums("dvid"), "left")
         .select(verts("vid"),
           (when(verts("vid") % 100 === 0,
@@ -186,14 +192,16 @@ object DocGraph {
       val ar = e.join(h, e("src") === h("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("h")).as("s"))
         .localCheckpoint(true)
-      val aSum = Option(ar.agg(sum("s")).first().get(0)).fold(1.0)(_.asInstanceOf[Double])
+      // ifEmpty = 1.0: an edgeless graph has an empty frontier; dividing the
+      // all-zero raw scores by 1 keeps them zero instead of NaN
+      val aSum = scalarSum(ar, "s", ifEmpty = 1.0)
       a = verts.join(ar, verts("vid") === ar("dvid"), "left")
         .select(verts("vid"), (coalesce(col("s"), lit(0.0)) / lit(aSum)).as("a"))
         .localCheckpoint(true)
       val hr = e.join(a, e("dst") === a("vid"))
         .groupBy(e("src").as("svid")).agg(sum(col("a")).as("s"))
         .localCheckpoint(true)
-      val hSum = Option(hr.agg(sum("s")).first().get(0)).fold(1.0)(_.asInstanceOf[Double])
+      val hSum = scalarSum(hr, "s", ifEmpty = 1.0)
       h = verts.join(hr, verts("vid") === hr("svid"), "left")
         .select(verts("vid"), (coalesce(col("s"), lit(0.0)) / lit(hSum)).as("h"))
         .localCheckpoint(true)
@@ -243,8 +251,11 @@ object DocGraph {
       val msgs = e.join(dist, e("src") === dist("vid"))
         .filter(col("d").isNotNull)
         .select(e("dst").as("vid"), (col("d") + 1L).as("d"))
+      // checkpoint per superstep: the self-referencing union would otherwise
+      // double the logical plan each round (2^k analysis cost)
       dist = msgs.unionByName(dist.select(col("vid"), col("d")))
         .groupBy("vid").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
     }
     dist.select(col("vid"), coalesce(col("d"), lit(-1L)).as(s"dist$k"))
   }

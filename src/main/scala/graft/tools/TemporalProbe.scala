@@ -53,8 +53,11 @@ object TemporalProbe {
         .filter(col("click_id").isNotNull).count()
     }
     time("count_in_range_1h") {
-      TemporalJoins.countInRange(errors, clicks, "user_id", "ts", "ts", 3600L * 1000000L)
-        .agg(sum("n_in_range")).count()
+      // the summed match count IS the sanity signal (a broken window would
+      // read 0) — not the row count of the one global-aggregate row
+      val r = TemporalJoins.countInRange(errors, clicks, "user_id", "ts", "ts", 3600L * 1000000L)
+        .agg(sum("n_in_range")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     spark.stop()
   }

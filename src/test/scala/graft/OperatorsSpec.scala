@@ -201,6 +201,37 @@ class OperatorsSpec extends SparkSpec {
     assert(wsc.exists(_.toString().contains("Project")), "dot projection not fused")
   }
 
+  test("compiled centroid_top matches the declarative (−dot,cid) ranking incl. ties") {
+    import graft.functions.HashExprs
+    import graft.sources.PageSynth.mix2
+    val base9 = Similarity.hyperplanes(9, 16, seed = 3L)
+    // duplicate centroid 2 as cid 9: an exact dot tie the smaller cid must win
+    val cents = base9 :+ base9(2).clone()
+    val pl = typedLit(cents.map(_.toSeq).toSeq)
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(j => (mix2(i, j.toLong).toDouble / Long.MaxValue).toFloat))
+    }.toDF("id", "v")
+    val k = 4
+    // the declarative reference form the compiled selection replaced
+    val decl = slice(array_sort(transform(sequence(lit(0), lit(cents.length - 1)), i =>
+      struct((lit(0.0) - Similarity.dot($"v",
+        call_function("element_at", pl, (i + lit(1)).cast("int")))).as("negDot"),
+        i.cast("int").as("cid")))), 1, k)
+    val rows = vecs.select(
+        HashExprs.centroid_top($"v", cents, k).as("got"),
+        transform(decl, s => s.getField("cid")).as("want"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // wherever the duplicated centroid ranks, cid 2 must appear before cid 9
+    rows.foreach { r =>
+      val got = r.getSeq[Int](0)
+      if (got.contains(9)) assert(got.indexOf(2) >= 0 && got.indexOf(2) < got.indexOf(9))
+    }
+    // dimension mismatch → null, never a silent common-prefix score
+    val bad = vecs.select(HashExprs.centroid_top(slice($"v", 1, 8), cents, k).as("t")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("IVF ANN: exact twins provably rank 1; perturbed twins with high recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter($"vec_id" < 100).select($"vec_id", $"embedding")

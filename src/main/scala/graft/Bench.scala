@@ -208,7 +208,17 @@ object Bench {
       if (runs.nonEmpty) runLog(name) = runs
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ---- emit: ONE compact stdout line + full evidence to a side file ------
+    // The harness captures only a bounded tail of stdout (r4's line embedded
+    // `query_runs` and grew past it — BENCH_r04.json ended mid-JSON with
+    // parsed:null, making the round's official numbers unrecoverable from the
+    // instrument that consumes them). stdout therefore carries ONLY totals +
+    // per-query bests, rounded (Double.toString of a raw best is up to 18
+    // chars; 60+ keys of those alone would overflow the capture), and the
+    // full per-run contention evidence goes to `SPARK_GRAFT_RUNS_OUT`
+    // (default BENCH/runs_latest.json, committed per round as runs_rN.json).
+    def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qruns = runLog.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(_.json).mkString("[", ",", "]") }.mkString("{", ",", "}")
     // total is wall seconds only — explicitly-registered metric keys (rates,
@@ -216,7 +226,22 @@ object Bench {
     val total = results.collect {
       case (k, v) if !metricKeys.contains(k) && v >= 0 => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","query_repeats":$repeats,"query_runs":$qruns,"load_start":"$loadStart","load_end":"${loadavg()}"}""")
+    val runsPath = sys.env.getOrElse("SPARK_GRAFT_RUNS_OUT", "BENCH/runs_latest.json")
+    val fullRecord =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","query_repeats":$repeats,"query_runs":$qruns,"load_start":"$loadStart","load_end":"${loadavg()}"}"""
+    try {
+      val p = java.nio.file.Paths.get(runsPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, fullRecord.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $runsPath: ${e.getMessage}") }
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_file":"$runsPath"}"""
+    // the tail capture is ~2000 chars; the line must fit WHOLE or the round's
+    // official artifact is unparseable again — fail loudly in local runs
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING stdout line is ${line.length} chars — trim keys")
+    println(line)
     spark.stop()
   }
 }

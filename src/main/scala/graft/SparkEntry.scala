@@ -134,13 +134,16 @@ object SparkEntry {
       .groupBy(col("dst").as("vid")).agg(count(lit(1)).as("n_in"))
       .orderBy(desc("n_in"), col("vid")).limit(20)),
 
+    // global rank/ntile WITHOUT the single-partition Window.orderBy funnel
+    // (VERDICT r4 #3): two-pass range-partitioned GraphOps.globalRank — the
+    // (n_in desc, vid) order is strict, so rank() ≡ row_number ≡ rn, and the
+    // oracle stays the plain window form
     "q_rank_window" -> ((s, d) => {
       val indeg = DocGraph.edges(s, d)
         .groupBy(col("dst").as("vid")).agg(count(lit(1)).as("n_in"))
-      val w = Window.orderBy(desc("n_in"), col("vid"))
-      indeg.select(col("vid"), col("n_in"),
-        rank().over(w).cast("long").as("rnk"),
-        ntile(10).over(w).cast("long").as("decile"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      GraphOps.globalRank(indeg, parts, numTiles = 10, desc("n_in"), col("vid"))
+        .select(col("vid"), col("n_in"), col("rn").as("rnk"), col("tile").as("decile"))
     }),
 
     "q_top_docs_per_lang" -> ((s, d) => {
@@ -279,9 +282,17 @@ object SparkEntry {
       val ev = events(s, d)
       val errors = ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"), col("event_id"))
+      // pre-dedup to one click per (user_id, ts), keeping the max click_id
+      // (ADVICE r4): DuckDB's ASOF LEFT JOIN returns an UNSPECIFIED row on
+      // right-side ties, so without this pin the oracle compare would be
+      // data-dependent the first time the corpus grows a duplicate-ts click
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
           cents(col("value")).as("click_val_cents"))
+        .groupBy("user_id", "ts")
+        .agg(max_by(struct(col("click_id"), col("click_val_cents")), col("click_id")).as("p"))
+        .select(col("user_id"), col("ts"),
+          col("p.click_id").as("click_id"), col("p.click_val_cents").as("click_val_cents"))
       operators.TemporalJoins.asofJoin(errors, clicks, "user_id", "ts")
         .select(col("event_id"), col("user_id"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"),
@@ -623,9 +634,12 @@ object SparkEntry {
 
     "q_asof_click" ->
       """WITH errors AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
-        |clicks AS (SELECT user_id, ts, event_id AS click_id,
-        |           CAST(round(value*100) AS BIGINT) AS cvc
-        |           FROM events WHERE event_type = 'click')
+        |clicks AS (
+        |  SELECT user_id, ts, click_id, cvc FROM (
+        |    SELECT user_id, ts, event_id AS click_id,
+        |           CAST(round(value*100) AS BIGINT) AS cvc,
+        |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1)
         |SELECT e.event_id, e.user_id,
         |       coalesce(c.click_id, -1) AS click_id,
         |       coalesce(c.cvc, -1) AS click_val_cents

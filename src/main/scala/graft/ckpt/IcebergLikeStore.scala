@@ -59,6 +59,12 @@ object IcebergLikeStore {
 class IcebergLikeStore(spark: SparkSession, root: String) {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+  // a SAME-version manifest carrying an extra field (a newer build that did
+  // not bump FormatVersion) must degrade to ignoring it, not throw and make
+  // the checkpoint root unreadable — unknown-field tolerance is the whole
+  // point of the versioned-manifest scheme
+  mapper.configure(
+    com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def metaDir(table: String): Path  = tableDir(table).resolve("metadata")

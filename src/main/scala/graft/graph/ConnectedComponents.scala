@@ -88,14 +88,21 @@ object ConnectedComponents {
     * shuffle_hash hint blocks AQE's broadcast at small |V|, the same measured
     * anti-pattern that cost q_lp 3× before its pin). */
   private[graph] def largeStar(e: DataFrame,
-                               pin: DataFrame => DataFrame): DataFrame = {
+                               pin: DataFrame => DataFrame, parts: Int): DataFrame = {
+    // width control is per-plan (explicit repartition on the shuffle keys —
+    // the following groupBy/join/distinct reuse that partitioning, so no
+    // second exchange appears), NOT a session-conf override: mutating
+    // spark.sql.shuffle.partitions for the loop's duration silently clamped
+    // any concurrent query on the same session (ADVICE r4)
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
+      .repartition(parts, col("u"))
     val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
     sym.join(pin(m), "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
+      .repartition(parts, col("src"), col("dst"))
       .distinct()
   }
 
@@ -103,14 +110,16 @@ object ConnectedComponents {
     * neighbors N(u) — emits (u, m) and (v, m) for v ∈ N(u) \ {m},
     * m = min(N(u)). */
   private[graph] def smallStar(e: DataFrame,
-                               pin: DataFrame => DataFrame): DataFrame = {
+                               pin: DataFrame => DataFrame, parts: Int): DataFrame = {
     val dir = e.filter(col("src") =!= col("dst")).select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v"))
+      .repartition(parts, col("u"))
     val withM = dir.join(pin(dir.groupBy("u").agg(min(col("v")).as("m"))), "u")
     withM.select(col("u").as("src"), col("m").as("dst"))
       .union(withM.filter(col("v") =!= col("m"))
         .select(col("v").as("src"), col("m").as("dst")))
+      .repartition(parts, col("src"), col("dst"))
       .distinct()
   }
 
@@ -148,20 +157,18 @@ object ConnectedComponents {
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     // right-size the per-round shuffle width from the materialized edge count
-    // (stars symmetrize, hence 2×). Unlike run(), the star rounds' shuffles
-    // come from groupBy/distinct inside largeStar/smallStar, so the width is
-    // set through the session conf for the loop's duration and restored after
-    // — at scale the clamp is inert and the configured width is kept.
+    // (stars symmetrize, hence 2×) — applied as explicit repartitions on the
+    // shuffle keys inside the star operators, which the downstream
+    // groupBy/join/distinct reuse. At scale the clamp is inert and the
+    // configured width is kept.
     val eCnt = e.count()
-    val confKey   = "spark.sql.shuffle.partitions"
-    val confSaved = spark.conf.get(confKey, "200")
-    spark.conf.set(confKey,
-      GraphOps.rightSizedParts(eCnt * 2, confSaved.toInt).toString)
+    val parts = GraphOps.rightSizedParts(eCnt * 2,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     try {
       var iter  = 0
       var fixed = false
       while (!fixed && iter < maxIter) {
-        val next = smallStar(largeStar(e, pin), pin).localCheckpoint(false)
+        val next = smallStar(largeStar(e, pin, parts), pin, parts).localCheckpoint(false)
         // ONE job per round: the symmetric-difference count over a full-outer
         // join decides the exact fixpoint in the same action that materializes
         // the lazily-checkpointed next edge set (both sides are distinct sets,
@@ -184,14 +191,18 @@ object ConnectedComponents {
         s"alternating CC did not reach the edge-set fixpoint in $maxIter rounds " +
           s"(graph needs more rounds — raise maxIter; labels would be arbitrary)")
       // materialize BEFORE freeing the vertex/edge checkpoints the plan reads
+      // (the eager localCheckpoint makes `labels` independent of them; the
+      // finally block then frees verts/e on success AND failure paths alike —
+      // the require above previously leaked both block sets, ADVICE r4)
       val labels = verts
         .join(e.withColumnRenamed("src", "vid").withColumnRenamed("dst", "root")
           .dropDuplicates("vid"), Seq("vid"), "left")
         .select(col("vid"), coalesce(col("root"), col("vid")).as("label"))
         .localCheckpoint(true)
+      (labels, iter)
+    } finally {
       GraphOps.freeCheckpoint(verts)
       GraphOps.freeCheckpoint(e)
-      (labels, iter)
-    } finally spark.conf.set(confKey, confSaved)
+    }
   }
 }

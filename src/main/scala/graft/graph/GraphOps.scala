@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -156,6 +156,63 @@ object GraphOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /**
+   * W3 at scale — global dense row-number (+ optional ntile) over a STRICT
+   * total order, without the single-partition `Window.orderBy(…)` funnel
+   * (the textbook 100×-scale-killer: every row serializes through one task's
+   * sort). Two passes, both parallel:
+   *
+   *  1. range-partition on the sort keys + sort within partitions (the only
+   *     shuffle), tag each row with `monotonically_increasing_id()` — its
+   *     documented layout is (partitionId « 33) | per-partition sequence in
+   *     evaluation order, which after `sortWithinPartitions` IS the sorted
+   *     order — and pin partition identity with an eager checkpoint;
+   *  2. collect the ≤`parts` per-partition row counts (longs, never row
+   *     data), fold them into cumulative offsets, and emit
+   *     `rn = offset(partition) + sequence + 1` as a literal-map lookup —
+   *     pure projection, no second shuffle, no window at all.
+   *
+   * With a strict total order (caller must include a unique tiebreaker
+   * column) `rank()` ≡ `row_number()`, and `ntile(t)` is a closed-form
+   * expression of (rn, n, t) — both SQL-standard definitions, matching
+   * Spark's and DuckDB's window functions exactly (NtileSpec pins this).
+   * Output: input columns + `rn` (+ `tile` when `numTiles > 0`).
+   */
+  def globalRank(df: DataFrame, parts: Int, numTiles: Int, sortCols: Column*): DataFrame = {
+    require(sortCols.nonEmpty, "globalRank needs sort columns")
+    val seqMask = (1L << 33) - 1
+    val laid = df.repartitionByRange(math.max(parts, 1), sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__seq", monotonically_increasing_id().bitwiseAND(lit(seqMask)))
+      .localCheckpoint(true)
+    val counts = laid.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+    val offByPid: Map[Int, Long] =
+      counts.map(_._1).zip(offsets.map(_._2)).toMap // offset BEFORE each pid
+    val n = counts.map(_._2).sum
+    val rn = (coalesce(element_at(typedLit(offByPid), col("__pid")), lit(0L))
+      + col("__seq") + lit(1L)).as("rn")
+    val withRn = laid.withColumn("rn", rn)
+    val out =
+      if (numTiles <= 0) withRn
+      else withRn.withColumn("tile", ntileOf(col("rn"), n, numTiles))
+    out.drop("__pid", "__seq")
+  }
+
+  /** SQL-standard `ntile(t)` of global row-number `rn` over `n` rows as a
+    * closed-form expression: the first `n % t` buckets get `n/t + 1` rows,
+    * the rest `n/t` (exactly Spark's and DuckDB's NTILE distribution). */
+  private[graft] def ntileOf(rn: Column, n: Long, t: Int): Column = {
+    val base = n / t
+    val rem  = n % t
+    val cut  = rem * (base + 1) // rows in the big buckets
+    when(rn <= cut, (rn - 1) / (base + 1) + 1)
+      .otherwise(lit(rem) + (rn - 1 - cut) / math.max(base, 1L) + 1)
+      .cast("long")
+  }
 
   /** S5 — SNAP-style text edge-list ingest (`src<ws>dst`, `#` comments). */
   def edgeListText(spark: SparkSession, path: String): Dataset[Edge] = {

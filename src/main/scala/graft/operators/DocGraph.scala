@@ -114,32 +114,67 @@ object DocGraph {
    * rᵢ₊₁(v) = (1−d)·p(v) + d·(Σ_{u→v} rᵢ(u)/out(u) + danglingᵢ·p(v)), with
    * dangling mass restarted at the seeds (Σ r stays exactly 1). Same
    * integer pinning and cross-engine arithmetic-order discipline as
-   * [[prIter]] (the 1e7 floor absorbs the ≲1e-11 partial-sum-order drift).
+   * [[prIter]] (the 1e7 floor absorbs the ≲1e-11 partial-sum-order drift —
+   * including the dangling term's: like PageRank.run, dangling mass is
+   * derived as 1 − Σ_{non-dangling} rᵢ from the PREVIOUS superstep's closing
+   * aggregate, which equals the oracle's 1 − Σ sums up to summation order).
    */
   def pprIter(spark: SparkSession, sfDir: String, k: Int,
-              d: Double = 0.85): DataFrame = {
-    val e      = edges(spark, sfDir)
-    val verts  = GraphOps.vertices(e)
-    val outdeg = GraphOps.outDegrees(e)
+              d: Double = 0.85): DataFrame =
+    pprIterEdges(spark, edges(spark, sfDir), k, d)
+
+  /**
+   * [[pprIter]] core on an explicit edge table, ONE Spark job per superstep
+   * (VERDICT r4 #2 — the former shape ran an eager checkpoint + scalar-sum
+   * + eager checkpoint, 3 driver actions each round): ranks carry the static
+   * nullable out-degree, the superstep's closing aggregate computes the next
+   * round's transmitted mass while materializing the lazily-checkpointed new
+   * state, exactly PageRank.run's pattern. JobCountSpec pins the count.
+   */
+  private[graft] def pprIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                  d: Double = 0.85,
+                                  broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val outdeg = GraphOps.outDegrees(e).repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nS = verts.filter(col("vid") % 100 === 0).count().toDouble
     require(nS > 0, "no seed vertices")
-    var r = verts.select(col("vid"),
-      when(col("vid") % 100 === 0, lit(1.0 / nS)).otherwise(lit(0.0)).as("r"))
-      .localCheckpoint(true)
+    val nV = verts.count()
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+
+    // bootstrap: seed state + its transmitted mass in one materializing agg
+    var r = verts.join(outdeg, Seq("vid"), "left")
+      .select(col("vid"),
+        when(col("vid") % 100 === 0, lit(1.0 / nS)).otherwise(lit(0.0)).as("r"),
+        col("outDeg"))
+      .localCheckpoint(false)
+    var transmitted = scalarSum(r.filter(col("outDeg").isNotNull), "r", ifEmpty = 0.0)
+
     for (_ <- 1 to k) {
-      val sums = e.join(r, e("src") === r("vid"))
-        .join(outdeg.withColumnRenamed("vid", "ov").withColumnRenamed("outDeg", "c"),
-          e("src") === col("ov"))
-        .groupBy(e("dst").as("dvid")).agg(sum(col("r") / col("c")).as("s"))
-        .localCheckpoint(true)
-      val dm = 1.0 - scalarSum(sums, "s", ifEmpty = 0.0)
-      r = verts.join(sums, verts("vid") === sums("dvid"), "left")
-        .select(verts("vid"),
-          (when(verts("vid") % 100 === 0,
+      val dm = 1.0 - transmitted
+      val rankDeg = r.filter(col("outDeg").isNotNull)
+        .select(col("vid"), (col("r") / col("outDeg")).as("w"))
+      val sums = e.join(pin(rankDeg), e("src") === rankDeg("vid"))
+        .groupBy(e("dst").as("dvid")).agg(sum(col("w")).as("s"))
+      val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+        .select(r("vid"),
+          (when(r("vid") % 100 === 0,
             lit((1.0 - d) / nS) + lit(d * dm / nS)).otherwise(lit(0.0))
-            + lit(d) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+            + lit(d) * coalesce(col("s"), lit(0.0))).as("r"),
+          r("outDeg"))
+      val mat = next.localCheckpoint(false)
+      // ONE closing job: materializes the checkpoint AND yields next round's
+      // transmitted mass (dangling = 1 − transmitted, restarted at seeds)
+      transmitted = scalarSum(mat.filter(col("outDeg").isNotNull), "r", ifEmpty = 0.0)
+      GraphOps.freeCheckpoint(r)
+      r = mat
     }
+    e.unpersist(false); outdeg.unpersist(false); verts.unpersist(false)
     r.select(col("vid"),
       floor(col("r") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"ppr${k}e7"))
   }
@@ -163,7 +198,7 @@ object DocGraph {
         |ps$i AS MATERIALIZED (SELECT e.dst AS vid, sum(p${i - 1}.r / o.c) AS s
         |        FROM edges e JOIN p${i - 1} ON e.src = p${i - 1}.vid JOIN outdeg o ON e.src = o.vid
         |        GROUP BY e.dst),
-        |pd$i AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) - sum(s) AS dm FROM ps$i),
+        |pd$i AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) - coalesce(sum(s), CAST(0.0 AS DOUBLE)) AS dm FROM ps$i),
         |p$i AS MATERIALIZED (SELECT v.vid,
         |        CASE WHEN v.vid % 100 = 0
         |          THEN CAST($restart AS DOUBLE)/sd.ns + CAST($damp AS DOUBLE)*pd$i.dm/sd.ns
@@ -183,33 +218,83 @@ object DocGraph {
    * direction is identical and the e7 floor pins the output exactly, the
    * same discipline as [[prIter]]/[[pprIter]].
    */
-  def hitsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val e     = edges(spark, sfDir)
-    val verts = GraphOps.vertices(e)
-    var h = verts.select(col("vid"), lit(1.0).as("h")).localCheckpoint(true)
+  def hitsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    hitsIterEdges(spark, edges(spark, sfDir), k)
+
+  /**
+   * [[hitsIter]] core on an explicit edge table, ONE Spark job per half-step
+   * (VERDICT r4 #2 — the former shape ran ~6 driver actions per iteration).
+   * The trick mirroring PageRank.run: the normalizer each half-step needs is
+   * derivable from the PREVIOUS state's closing aggregate —
+   * Σ_{(u→v)} h(u) = Σ_u h(u)·out(u) and Σ_{(u→v)} a(v) = Σ_v a(v)·in(v) —
+   * so `h` rows carry the static nullable out-degree and `a` rows the
+   * in-degree, and each half-step's lazily-checkpointed state is
+   * materialized by the aggregate that yields the NEXT half-step's
+   * normalizer. Summation order differs from the oracle's Σ-of-groups by
+   * ≲1e-15 relative; the e7 floor pins it (same discipline as prIter).
+   */
+  private[graft] def hitsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                   broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // degrees are PRE-JOINED onto the vertex set once and persisted: a
+    // degree join inside the loop would re-run per half-step, and its
+    // unpinned BroadcastExchange submits an extra async job each time —
+    // exactly the per-superstep action creep this rewrite removes
+    val vertsOut = GraphOps.vertices(e)
+      .join(GraphOps.outDegrees(e), Seq("vid"), "left")
+      .repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vertsIn = GraphOps.vertices(e)
+      .join(GraphOps.inDegrees(e), Seq("vid"), "left")
+      .repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nV = vertsOut.count()
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+    // ifEmpty = 1.0 below: an edgeless graph has an empty frontier (every
+    // degree null ⇒ the weighted sum has no non-null term); dividing the
+    // all-zero raw scores by 1 keeps them zero instead of NaN — identical to
+    // the former Σ-over-empty-frontier-rows semantics (degree is non-null on
+    // exactly the vertices a frontier row could reach).
+    def weighted(df: DataFrame, score: String, deg: String): DataFrame =
+      df.filter(col(deg).isNotNull).select((col(score) * col(deg)).as("ws"))
+
+    // bootstrap: h₀ = 1 with out-degrees; its closing agg yields Σ h₀·out
+    var h = vertsOut
+      .select(col("vid"), lit(1.0).as("h"), col("outDeg"))
+      .localCheckpoint(false)
+    var aSum = scalarSum(weighted(h, "h", "outDeg"), "ws", ifEmpty = 1.0)
     var a = h.select(col("vid"), col("h").as("a")) // overwritten in iteration 1
     for (_ <- 1 to k) {
-      val ar = e.join(h, e("src") === h("vid"))
+      val ar = e.join(pin(h.select(col("vid"), col("h"))), e("src") === col("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("h")).as("s"))
-        .localCheckpoint(true)
-      // ifEmpty = 1.0: an edgeless graph has an empty frontier; dividing the
-      // all-zero raw scores by 1 keeps them zero instead of NaN
-      val aSum = scalarSum(ar, "s", ifEmpty = 1.0)
-      a = verts.join(ar, verts("vid") === ar("dvid"), "left")
-        .select(verts("vid"), (coalesce(col("s"), lit(0.0)) / lit(aSum)).as("a"))
-        .localCheckpoint(true)
-      val hr = e.join(a, e("dst") === a("vid"))
+      val nextA = vertsIn.join(pin(ar), col("vid") === ar("dvid"), "left")
+        .select(col("vid"), (coalesce(col("s"), lit(0.0)) / lit(aSum)).as("a"),
+          col("inDeg"))
+      val matA = nextA.localCheckpoint(false)
+      val hSum = scalarSum(weighted(matA, "a", "inDeg"), "ws", ifEmpty = 1.0)
+      val hr = e.join(pin(matA.select(col("vid"), col("a"))), e("dst") === col("vid"))
         .groupBy(e("src").as("svid")).agg(sum(col("a")).as("s"))
-        .localCheckpoint(true)
-      val hSum = scalarSum(hr, "s", ifEmpty = 1.0)
-      h = verts.join(hr, verts("vid") === hr("svid"), "left")
-        .select(verts("vid"), (coalesce(col("s"), lit(0.0)) / lit(hSum)).as("h"))
-        .localCheckpoint(true)
+      val nextH = vertsOut.join(pin(hr), col("vid") === hr("svid"), "left")
+        .select(col("vid"), (coalesce(col("s"), lit(0.0)) / lit(hSum)).as("h"),
+          col("outDeg"))
+      val matH = nextH.localCheckpoint(false)
+      aSum = scalarSum(weighted(matH, "h", "outDeg"), "ws", ifEmpty = 1.0)
+      GraphOps.freeCheckpoint(h)
+      if (a.columns.contains("inDeg")) GraphOps.freeCheckpoint(a)
+      h = matH
+      a = matA
     }
-    a.join(h, Seq("vid"))
+    val out = a.join(h, Seq("vid"))
       .select(col("vid"),
         floor(col("a") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"auth${k}e7"),
         floor(col("h") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"hub${k}e7"))
+      .localCheckpoint(true)
+    e.unpersist(false); vertsOut.unpersist(false); vertsIn.unpersist(false)
+    GraphOps.freeCheckpoint(a); GraphOps.freeCheckpoint(h)
+    out
   }
 
   /** Oracle SQL for exactly k HITS iterations (L1-normalized, see [[hitsIter]]). */
@@ -220,12 +305,12 @@ object DocGraph {
       sb.append(s""",
         |ar$i AS MATERIALIZED (SELECT e.dst AS vid, sum(h${i - 1}.h) AS s
         |        FROM edges e JOIN h${i - 1} ON e.src = h${i - 1}.vid GROUP BY e.dst),
-        |at$i AS MATERIALIZED (SELECT sum(s) AS t FROM ar$i),
+        |at$i AS MATERIALIZED (SELECT coalesce(sum(s), CAST(1.0 AS DOUBLE)) AS t FROM ar$i),
         |a$i AS MATERIALIZED (SELECT v.vid, coalesce(ar$i.s, CAST(0.0 AS DOUBLE))/at$i.t AS a
         |        FROM verts v CROSS JOIN at$i LEFT JOIN ar$i ON v.vid = ar$i.vid),
         |hr$i AS MATERIALIZED (SELECT e.src AS vid, sum(a$i.a) AS s
         |        FROM edges e JOIN a$i ON e.dst = a$i.vid GROUP BY e.src),
-        |ht$i AS MATERIALIZED (SELECT sum(s) AS t FROM hr$i),
+        |ht$i AS MATERIALIZED (SELECT coalesce(sum(s), CAST(1.0 AS DOUBLE)) AS t FROM hr$i),
         |h$i AS MATERIALIZED (SELECT v.vid, coalesce(hr$i.s, CAST(0.0 AS DOUBLE))/ht$i.t AS h
         |        FROM verts v CROSS JOIN ht$i LEFT JOIN hr$i ON v.vid = hr$i.vid)""".stripMargin)
     }
@@ -242,22 +327,53 @@ object DocGraph {
    * min_{u→v} distᵢ(u)+1). Exact integer arithmetic — unreached vertices
    * report -1 (a NULL-free sentinel for the driver's hash compare).
    */
-  def bfsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val e     = edges(spark, sfDir)
-    val verts = GraphOps.vertices(e)
+  def bfsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    bfsIterEdges(spark, edges(spark, sfDir), k)
+
+  /**
+   * [[bfsIter]] core on an explicit edge table. BFS needs NO per-superstep
+   * driver scalar (unlike PageRank/PPR/HITS), so the per-superstep
+   * checkpoint is LAZY: `localCheckpoint(false)` truncates the logical plan
+   * immediately (the self-referencing union would otherwise double it each
+   * round — 2^k analysis cost), while execution defers to the caller's ONE
+   * materializing action, which computes and caches the whole k-superstep
+   * chain as a single multi-stage job. Zero driver actions per extra
+   * superstep (JobCountSpec pins the delta at the frontier-agnostic
+   * fixed-k cost); the edge table is laid out and cached once so the single
+   * job reads the scan once, not k times.
+   */
+  private[graft] def bfsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+    // the dist side is always the FULL vertex set (not a shrinking frontier),
+    // so it is pinned to a shuffle-hash join against the src-partitioned
+    // cached edges — broadcasting O(|V|) state per superstep is the scale
+    // anti-pattern, and the deferred chain has no size stats to decide with
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var dist = verts.select(col("vid"),
       when(col("vid") % 100 === 0, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
+      .localCheckpoint(false)
+    inter += dist
     for (_ <- 1 to k) {
-      val msgs = e.join(dist, e("src") === dist("vid"))
+      val msgs = e.join(pin(dist), e("src") === dist("vid"))
         .filter(col("d").isNotNull)
         .select(e("dst").as("vid"), (col("d") + 1L).as("d"))
-      // checkpoint per superstep: the self-referencing union would otherwise
-      // double the logical plan each round (2^k analysis cost)
       dist = msgs.unionByName(dist.select(col("vid"), col("d")))
         .groupBy("vid").agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      inter += dist
     }
-    dist.select(col("vid"), coalesce(col("d"), lit(-1L)).as(s"dist$k"))
+    // the ONE materializing action for the whole chain; then free the k
+    // intermediate checkpoint block sets and the edge cache — the result is
+    // independent of them after the eager checkpoint
+    val out = dist.select(col("vid"), coalesce(col("d"), lit(-1L)).as(s"dist$k"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false)
+    out
   }
 
   /** Oracle SQL for exactly k multi-source BFS supersteps (see [[bfsIter]]). */

@@ -73,6 +73,29 @@ class JobCountSpec extends SparkSpec {
     assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
   }
 
+  test("personalized PageRank: exactly one job per extra superstep") {
+    // seeds = vid%100==0 → {0} on the 31-vertex path; closing agg per
+    // superstep yields the next dangling term AND materializes the state
+    val e = pathEdges(noAqe)
+    val j3 = jobsDuring { operators.DocGraph.pprIterEdges(noAqe, e, 3, broadcastMaxRows = 0L).count() }
+    val j6 = jobsDuring { operators.DocGraph.pprIterEdges(noAqe, e, 6, broadcastMaxRows = 0L).count() }
+    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+  }
+
+  test("HITS: exactly one job per half-step (two per iteration)") {
+    val e = pathEdges(noAqe)
+    val j2 = jobsDuring { operators.DocGraph.hitsIterEdges(noAqe, e, 2, broadcastMaxRows = 0L).count() }
+    val j4 = jobsDuring { operators.DocGraph.hitsIterEdges(noAqe, e, 4, broadcastMaxRows = 0L).count() }
+    assert(j4 - j2 == 4, s"expected 2 jobs/iteration, got j2=$j2 j4=$j4")
+  }
+
+  test("multi-source BFS: zero extra jobs per superstep (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j4 = jobsDuring { operators.DocGraph.bfsIterEdges(noAqe, e, 4).count() }
+    val j8 = jobsDuring { operators.DocGraph.bfsIterEdges(noAqe, e, 8).count() }
+    assert(j8 - j4 == 0, s"expected a k-independent job count, got j4=$j4 j8=$j8")
+  }
+
   test("alternating CC: one job per contraction round plus fixed setup") {
     val e = pathEdges(noAqe)
     var rounds = -1

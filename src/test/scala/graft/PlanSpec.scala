@@ -43,19 +43,29 @@ class PlanSpec extends SparkSpec {
     edges.unpersist()
   }
 
-  test("no cartesian or nested-loop join in any harness query plan (ANN baseline excepted)") {
+  test("no cartesian/nested-loop join or single-partition global window in any harness query plan") {
     val sfDir = "/root/testdata/sf0.001"
     // fast structural scan: analyze (don't execute) each query's plan
     val exempt = Set("q_ann_cosine") // documented BNLJ: bounded exact baseline
     SparkEntry.queries.foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val planStr = plan.toString
       if (!exempt(name)) {
-        val plan =
-          try fn(spark, sfDir).queryExecution.sparkPlan.toString
-          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
-        assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
+        assert(!planStr.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+        assert(!planStr.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin")
       }
+      // Window.orderBy with no partitionBy funnels every row through ONE
+      // task's sort — the textbook scale-killer globalRank exists to avoid.
+      // No exemptions: every windowed query partitions (per-key top-k) or
+      // uses the two-pass range-partitioned rank (VERDICT r4 #3).
+      val global = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name plans an unpartitioned global window")
     }
   }
 

@@ -92,6 +92,22 @@ class StoreResumeSpec extends SparkSpec {
     assert(read.metrics == metrics && read.formatVersion == IcebergLikeStore.FormatVersion)
   }
 
+  test("same-version manifest with an unknown extra field degrades gracefully") {
+    // ADVICE r4: a newer build that adds a field WITHOUT bumping FormatVersion
+    // still routes through databind (version matches) — the mapper must
+    // ignore the unknown field instead of throwing and making the checkpoint
+    // root unreadable.
+    val root  = Files.createTempDirectory("graft-extrafield").toString
+    val store = new IcebergLikeStore(spark, root)
+    val written = store.commit("xf", Seq((1L, 1.0)).toDF("vid", "rank"), iter = 0)
+    val mf = java.nio.file.Paths.get(root, "xf", "metadata", s"snap-${written.snapshotId}.json")
+    val json = new String(Files.readAllBytes(mf), java.nio.charset.StandardCharsets.UTF_8)
+    val withExtra = json.replaceFirst("\\{", "{\"futureField\":\"v\",")
+    Files.write(mf, withExtra.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val read = store.snapshotMeta("xf", written.snapshotId)
+    assert(read == written, "unknown same-version field must be ignored, not fatal")
+  }
+
   test("PageRank resumes mid-iteration from durable checkpoint") {
     val root  = Files.createTempDirectory("graft-resume").toString
     val store = new IcebergLikeStore(spark, root)

@@ -398,6 +398,26 @@ object SparkEntry {
         .select(col("qid"), col("rnk").cast("long").as("twin_rank"))
     }),
 
+    // two-level (coarse-router) IVF — the web-scale variant whose candidate
+    // volume per query is constant in N (list sizes stay O(1) as nlist grows
+    // with the corpus). Like q_ann_ivf the plain run is no_oracle (sampled
+    // centroids are data-dependent doubles); the gate below is provable.
+    "q_ann_ivf2" -> ((s, d) =>
+      Similarity.ivfTopKTwoLevel(emb(s, d), "vec_id", "embedding", k = 5)),
+
+    // two-level IVF gate, provable by the same routing-determinism argument
+    // as q_ann_ivf_recall: identical vector ⇒ identical coarse ranking ⇒
+    // identical probe list (one sequential compiled loop) ⇒ twin and
+    // original share an inverted list ⇒ candidate guaranteed; cosine exactly
+    // 1 ⇒ unique rank-1
+    "q_ann_ivf2_recall" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      requireIdHeadroom(s, d, e, "vec_id", EmbTwinOff)
+      Similarity.ivfTopKTwoLevel(e.unionByName(embTwins(e)), "vec_id", "embedding", k = 5)
+        .filter(col("qid") < 50 && col("nn") === col("qid") + lit(EmbTwinOff))
+        .select(col("qid"), col("rnk").cast("long").as("twin_rank"))
+    }),
+
     // ---- driver-visible recall gates (VERDICT r2 #4): each plants
     // deterministic twins, runs the PROBABILISTIC path, and emits exactly the
     // planted pairs it recovered — so the DuckDB oracle (the full planted
@@ -723,6 +743,9 @@ object SparkEntry {
       "SELECT vec_id AS qid, CAST(1 AS BIGINT) AS twin_rank FROM embeddings WHERE vec_id < 50",
 
     "q_ann_ivf_recall" ->
+      "SELECT vec_id AS qid, CAST(1 AS BIGINT) AS twin_rank FROM embeddings WHERE vec_id < 50",
+
+    "q_ann_ivf2_recall" ->
       "SELECT vec_id AS qid, CAST(1 AS BIGINT) AS twin_rank FROM embeddings WHERE vec_id < 50",
 
     "q_ann_cosine" ->

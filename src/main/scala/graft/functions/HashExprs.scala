@@ -256,6 +256,131 @@ object HashExprs {
   def centroid_top(vec: Column, cents: Array[Array[Double]], top: Int): Column =
     ColumnShim.column(CentroidTopExpr(ColumnShim.expression(vec), cents, top))
 
+  /**
+   * Two-level centroid routing for hierarchical IVF (the coarse-router
+   * variant [[CentroidTopExpr]]'s scaladoc names as the fix for flat IVF's
+   * measured-quadratic candidate envelope): per row, rank ALL `coarse`
+   * centroids (dot desc, ties toward the smaller index), keep the best
+   * `cProbe` coarse groups, then scan ONLY those groups' fine centroids —
+   * `fineFlat` holds the fine matrix row-major GROUPED by coarse
+   * assignment, `groupOffsets(g)..groupOffsets(g+1)` delimiting group `g`
+   * and `fineIds(i)` mapping grouped position → original fine centroid id —
+   * and return the global top-`top` fine ids by (dot desc, fine id asc).
+   *
+   * Per-row cost is nCoarse + cProbe·(nlist/nCoarse) dots instead of the
+   * flat nlist, so nlist can grow ~linearly with the corpus (list sizes
+   * stay O(1)) while routing stays cheap — the property that removes the
+   * N·nProbe·N/nlist quadratic term. Fine values are floats: the matrix
+   * ships inside the task binary (one broadcast per stage), and routing
+   * only needs a deterministic total order, not double precision — dots
+   * still accumulate in double. Dimension mismatch → null (same contract
+   * as [[DotExpr]]/[[CentroidTopExpr]]). Determinism: one sequential loop,
+   * so two bit-identical vectors ALWAYS produce the identical probe list —
+   * the invariant the planted-twin recall oracle rests on.
+   * CodegenFallback for the same measured reason as [[CentroidTopExpr]].
+   */
+  case class CentroidTopGroupedExpr(
+      child: Expression,
+      coarse: Array[Array[Double]],
+      fineFlat: Array[Float],
+      fineIds: Array[Int],
+      groupOffsets: Array[Int],
+      cProbe: Int,
+      top: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(groupOffsets.length == coarse.length + 1 &&
+      groupOffsets.head == 0 && groupOffsets.last == fineIds.length,
+      "groupOffsets must delimit fineIds per coarse group")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+      case ArrayType(FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _)  => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(s"centroid_top_grouped over unsupported $other")
+    }
+    @transient private lazy val get = getter(child.dataType)
+    private val dim = if (coarse.isEmpty) 0 else coarse(0).length
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (coarse.exists(_.length != v.numElements()) ||
+        fineFlat.length != fineIds.length * dim) return null
+      val d = v.numElements()
+      // level 1: top-cProbe coarse groups (dot desc, smaller index first) —
+      // same insertion-selection as CentroidTopExpr
+      val kc = math.min(cProbe, coarse.length)
+      val cDot = new Array[Double](kc)
+      val cIdx = new Array[Int](kc)
+      var cFilled = 0
+      var c = 0
+      while (c < coarse.length) {
+        val plane = coarse(c)
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += get(v, i) * plane(i); i += 1 }
+        if (cFilled < kc) {
+          var pos = cFilled
+          while (pos > 0 && cDot(pos - 1) < s) {
+            cDot(pos) = cDot(pos - 1); cIdx(pos) = cIdx(pos - 1); pos -= 1
+          }
+          cDot(pos) = s; cIdx(pos) = c; cFilled += 1
+        } else if (s > cDot(kc - 1)) {
+          var pos = kc - 1
+          while (pos > 0 && cDot(pos - 1) < s) {
+            cDot(pos) = cDot(pos - 1); cIdx(pos) = cIdx(pos - 1); pos -= 1
+          }
+          cDot(pos) = s; cIdx(pos) = c
+        }
+        c += 1
+      }
+      // level 2: global top-`top` over the selected groups' fine centroids
+      // by (dot desc, fine id asc) — scan order is group order, so ties are
+      // resolved by explicit id compare, not arrival order
+      val kf = math.min(top, fineIds.length)
+      val fDot = new Array[Double](kf)
+      val fId  = new Array[Int](kf)
+      var fFilled = 0
+      var gi = 0
+      while (gi < cFilled) {
+        val g = cIdx(gi)
+        var p = groupOffsets(g)
+        val end = groupOffsets(g + 1)
+        while (p < end) {
+          var s = 0.0
+          var i = 0
+          val off = p * dim
+          while (i < d) { s += get(v, i) * fineFlat(off + i); i += 1 }
+          val id = fineIds(p)
+          def beats(pos: Int): Boolean =
+            fDot(pos) < s || (fDot(pos) == s && fId(pos) > id)
+          if (fFilled < kf) {
+            var pos = fFilled
+            while (pos > 0 && beats(pos - 1)) {
+              fDot(pos) = fDot(pos - 1); fId(pos) = fId(pos - 1); pos -= 1
+            }
+            fDot(pos) = s; fId(pos) = id; fFilled += 1
+          } else if (kf > 0 && beats(kf - 1)) {
+            var pos = kf - 1
+            while (pos > 0 && beats(pos - 1)) {
+              fDot(pos) = fDot(pos - 1); fId(pos) = fId(pos - 1); pos -= 1
+            }
+            fDot(pos) = s; fId(pos) = id
+          }
+          p += 1
+        }
+        gi += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(fId, fFilled))
+    }
+    override protected def withNewChildInternal(c: Expression): CentroidTopGroupedExpr =
+      copy(child = c)
+  }
+
+  def centroid_top_grouped(vec: Column, coarse: Array[Array[Double]],
+                           fineFlat: Array[Float], fineIds: Array[Int],
+                           groupOffsets: Array[Int], cProbe: Int, top: Int): Column =
+    ColumnShim.column(CentroidTopGroupedExpr(ColumnShim.expression(vec),
+      coarse, fineFlat, fineIds, groupOffsets, cProbe, top))
+
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSigExpr(ColumnShim.expression(shingles), numHashes))
 

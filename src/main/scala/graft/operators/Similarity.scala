@@ -173,8 +173,9 @@ object Similarity {
    * clamped (ranking cost is N·nlist dots) this grows quadratically in N —
    * ~2 B candidate rows at 1 M vectors. Flat IVF is therefore the
    * 10⁴–10⁶-vector tool; past that use [[lshTopK]] (bucket count grows with
-   * the corpus at constant per-row cost) or layer a coarse quantizer over
-   * these same primitives (two-level IVF: route to a super-list first).
+   * the corpus at constant per-row cost) or [[ivfTopKTwoLevel]] (the
+   * coarse-router hierarchy — measured 49 s / twin-recall 1.0 at 1 M
+   * vectors where this flat path ran >20 min, AnnScaleProbe r5).
    */
   def ivfTopK(docs: DataFrame, idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 0, nProbe: Int = 4, iters: Int = 2): DataFrame = {
@@ -195,6 +196,14 @@ object Similarity {
       .withColumn("nv", norm(col("v")))
       .withColumn("rank", centroidRank(col("v"), unitize(cents), nProbe))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rankedTopK(base, k)
+  }
+
+  /** Shared IVF verify tail: `base` = (id, v, nv, rank) persisted, rank(1)
+    * being the row's inverted-list assignment and the whole array its probe
+    * list. Equi-join on centroid id generates candidates, exact cosine
+    * re-ranks, top-k per query. */
+  private def rankedTopK(base: DataFrame, k: Int): DataFrame = {
     val assigned = base.select(col("id"), col("v"), col("nv"),
       element_at(col("rank"), 1).as("cid"))
     val probes = base.select(col("id").as("qid0"), col("v").as("qv"), col("nv").as("qnv"),
@@ -215,6 +224,127 @@ object Similarity {
       .localCheckpoint(true)
     base.unpersist(false)
     out
+  }
+
+  // ---- two-level IVF ------------------------------------------------------
+
+  /** Deterministic driver-side spherical k-means over unit vectors (Lloyd,
+    * cosine assignment, ties toward the smaller centroid index, means
+    * re-unitized; empty clusters keep their previous centroid). Sequential
+    * arithmetic — bit-reproducible for identical inputs. Used ONLY on model
+    * parameters (the fine-centroid set, O(nlist·dim) doubles), never row
+    * data. */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+                                 iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty && k > 0)
+    val n   = points.length
+    val dim = points(0).length
+    val kk  = math.min(k, n)
+    // deterministic spread init: every n/kk-th point in index order
+    var cents = Array.tabulate(kk)(i => unitVec(points((i.toLong * n / kk).toInt)))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      var j = 0
+      while (j < n) {
+        val p = points(j)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          var s = 0.0; var i = 0
+          while (i < dim) { s += p(i) * cents(c)(i); i += 1 }
+          if (s > bestDot) { bestDot = s; best = c }
+          c += 1
+        }
+        val acc = sums(best); var i = 0
+        while (i < dim) { acc(i) += p(i); i += 1 }
+        cnts(best) += 1
+        j += 1
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (cnts(c) > 0) unitVec(sums(c).map(_ / cnts(c))) else cents(c))
+    }
+    cents
+  }
+
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    if (nrm > 0) v.map(_ / nrm) else v.clone()
+  }
+
+  /**
+   * Two-level (coarse-router) IVF ANN — the scale path flat [[ivfTopK]]'s
+   * measured envelope calls for (AnnScaleProbe r4: flat IVF's candidate
+   * volume N·nProbe·N/nlist goes quadratic once nlist clamps; 155 s at 200k
+   * vectors, >20 min at 1M). Here nlist grows ~linearly with the corpus
+   * (list sizes stay O(1)) because routing no longer costs nlist dots per
+   * row: a √nlist-sized coarse layer (spherical k-means over the fine
+   * centroid set) routes each row to `cProbe` super-lists and only their
+   * fine centroids are ranked — nCoarse + cProbe·nlist/nCoarse dots per
+   * row, all inside ONE compiled expression (CentroidTopGroupedExpr),
+   * shuffle-free. Fine centroids are a hash-ordered corpus sample (no
+   * distributed Lloyd at this nlist — assignment quality affects only list
+   * balance, not the provable exact-twin recall, which needs ONLY routing
+   * determinism: identical vector ⇒ identical probe list ⇒ same list).
+   * Candidate generation and verification reuse the flat path's equi-join +
+   * exact-cosine re-rank.
+   *
+   * At a 1000-executor scale the model (nlist·dim floats) ships once per
+   * stage in the task binary exactly like any broadcast model; the inverted
+   * lists ARE the corpus partitioning. Candidate volume per query is
+   * nProbe·(N/nlist) = O(nProbe·listSize) — constant in N by construction.
+   */
+  def ivfTopKTwoLevel(docs: DataFrame, idCol: String, vecCol: String, k: Int,
+                      nProbe: Int = 4, cProbe: Int = 4,
+                      nCentroids: Int = 0, targetListSize: Int = 8): DataFrame = {
+    val docsv = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val n = docsv.count()
+    val nlist =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.min(1 << 17, (n / targetListSize).toInt))
+    // fine centroids: hash-ordered sample of the corpus itself (unit-
+    // normalized; argmax dot ≡ argmax cosine). O(nlist·dim) driver traffic —
+    // model parameters, not row data.
+    val fine: Array[Array[Double]] = docsv
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h", "id").limit(nlist)
+      .select("v").collect()
+      .map(r => unitVec(r.getSeq[Number](0).map(_.doubleValue()).toArray))
+    require(fine.nonEmpty, "empty corpus")
+    val dim = fine(0).length
+    val nCoarse = math.max(4, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
+    // coarse layer: spherical k-means on (a subsample of) the fine set
+    val trainStep = math.max(1, fine.length / 20000)
+    val coarse = localKMeans(
+      Array.range(0, fine.length, trainStep).map(fine(_)), nCoarse, iters = 3)
+    // group fine centroids by their coarse assignment (dot argmax, ties
+    // toward the smaller coarse index — mirrors the expression's own order)
+    val groupOf = fine.map { f =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < coarse.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) { s += f(i) * coarse(c)(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val order = fine.indices.sortBy(j => (groupOf(j), j)).toArray
+    val fineIds = order
+    val fineFlat = new Array[Float](order.length * dim)
+    for (p <- order.indices; i <- 0 until dim)
+      fineFlat(p * dim + i) = fine(order(p))(i).toFloat
+    val groupOffsets = new Array[Int](coarse.length + 1)
+    order.foreach(j => groupOffsets(groupOf(j) + 1) += 1)
+    for (g <- 1 to coarse.length) groupOffsets(g) += groupOffsets(g - 1)
+
+    val base = docsv
+      .withColumn("nv", norm(col("v")))
+      .withColumn("rank", graft.functions.HashExprs.centroid_top_grouped(
+        col("v"), coarse, fineFlat, fineIds, groupOffsets, cProbe, nProbe))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rankedTopK(base, k)
   }
 
   /**

@@ -61,6 +61,13 @@ object AnnScaleProbe {
     recallOf("lsh_topk_20planes", total, planted) {
       Similarity.lshTopK(corpus, "vec_id", "embedding", k = 5, nPlanes = 20)
     }
+    // two-level IVF at FULL scale — the coarse-router variant exists exactly
+    // to remove flat IVF's quadratic candidate envelope: nlist grows with N
+    // (list sizes stay O(1)), routing is nCoarse + cProbe·nlist/nCoarse
+    // compiled dots per row
+    recallOf("ivf2_topk", total, planted) {
+      Similarity.ivfTopKTwoLevel(corpus, "vec_id", "embedding", k = 5)
+    }
     // flat IVF's quadratic candidate envelope (see scaladoc) — probe at 200k
     val ivfN = math.min(n, 200000L)
     val ivfBase = base.filter(col("vec_id") < ivfN)

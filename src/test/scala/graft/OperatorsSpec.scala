@@ -254,6 +254,95 @@ class OperatorsSpec extends SparkSpec {
     assert(pertHits >= 85, s"perturbed-twin recall too low: $pertHits/100")
   }
 
+  test("compiled centroid_top_grouped matches a brute-force two-level reference incl. ties") {
+    import graft.functions.HashExprs
+    import graft.sources.PageSynth.mix2
+    val dim = 16
+    val coarse = Similarity.hyperplanes(5, dim, seed = 11L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+    }
+    // 17 fine centroids; duplicate fine 3 as fine 16 (exact dot tie — the
+    // smaller fine id must win wherever the pair lands, even across groups)
+    val fineBase = Similarity.hyperplanes(16, dim, seed = 23L)
+    val fine = (fineBase :+ fineBase(3).clone()).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+    }
+    // grouping mirrors Similarity.ivfTopKTwoLevel: coarse argmax, tie →
+    // smaller coarse index — except the duplicated fine 16 is FORCED into a
+    // different group than fine 3 to exercise the cross-group tie
+    def assign(f: Array[Double]): Int = {
+      var best = 0; var bd = Double.NegativeInfinity
+      for (c <- coarse.indices) {
+        var s = 0.0; for (i <- 0 until dim) s += f(i) * coarse(c)(i)
+        if (s > bd) { bd = s; best = c }
+      }
+      best
+    }
+    val groupOf = fine.zipWithIndex.map { case (f, j) =>
+      if (j == 16) (assign(f) + 1) % coarse.length else assign(f)
+    }
+    val order = fine.indices.sortBy(j => (groupOf(j), j)).toArray
+    val fineFlat = new Array[Float](order.length * dim)
+    for (p <- order.indices; i <- 0 until dim) fineFlat(p * dim + i) = fine(order(p))(i).toFloat
+    val offsets = new Array[Int](coarse.length + 1)
+    order.foreach(j => offsets(groupOf(j) + 1) += 1)
+    for (g <- 1 to coarse.length) offsets(g) += offsets(g - 1)
+
+    val cProbe = 2; val top = 5
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(j => (mix2(i, j.toLong).toDouble / Long.MaxValue).toFloat))
+    }
+    val got = vecs.toDF("id", "v")
+      .select($"id", HashExprs.centroid_top_grouped(
+        $"v", coarse, fineFlat, order, offsets, cProbe, top).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    // brute-force reference: same double arithmetic, explicit total orders
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val coarseRanked = coarse.indices
+        .map(c => { var s = 0.0; for (i <- 0 until dim) s += v(i) * coarse(c)(i); (-s, c) })
+        .sorted.take(cProbe).map(_._2)
+      val cand = coarseRanked.flatMap(g => order.slice(offsets(g), offsets(g + 1)))
+      val want = cand
+        .map(j => { var s = 0.0
+          // the expression reads FLOAT fine values widened to double
+          for (i <- 0 until dim) s += v(i) * fine(j)(i).toFloat.toDouble
+          (-s, j) })
+        .sorted.take(top).map(_._2)
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+    // the cross-group exact tie: when BOTH copies appear (both groups
+    // probed), the smaller fine id must rank first; a copy appearing alone
+    // is legitimate (its twin's group wasn't among the cProbe probed ones)
+    val both = got.values.filter(r => r.contains(3) && r.contains(16))
+    assert(both.nonEmpty, "tie case never exercised — adjust the fixture")
+    both.foreach(r => assert(r.indexOf(3) < r.indexOf(16), s"fine-id tie broken wrong: $r"))
+    // dimension mismatch → null, never a silent common-prefix score
+    val bad = vecs.toDF("id", "v").select(HashExprs.centroid_top_grouped(
+      slice($"v", 1, 8), coarse, fineFlat, order, offsets, cProbe, top).as("t")).collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
+  test("two-level IVF: exact twins provably rank 1; perturbed twins with high recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val exact = e.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val hits = Similarity.ivfTopKTwoLevel(e.unionByName(exact), "vec_id", "embedding", 5)
+      .filter($"qid" < 100000L && $"nn" === $"qid" + 100000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(hits.size == 100, s"exact-twin recall ${hits.size}/100")
+    assert(hits.values.forall(_ == 1), "an exact twin was not rank 1")
+    val pert = e.select(($"vec_id" + 200000L).as("vec_id"),
+      transform($"embedding", x =>
+        x + (pmod(xxhash64($"vec_id", x), lit(100)).cast("float") - 50f) / 5000f)
+        .as("embedding"))
+    val pertHits = Similarity.ivfTopKTwoLevel(e.unionByName(pert), "vec_id", "embedding", 5)
+      .filter($"qid" < 100000L && $"nn" === $"qid" + 200000L)
+      .count()
+    assert(pertHits >= 85, s"perturbed-twin recall too low: $pertHits/100")
+  }
+
   test("signBucket inline and packed forms are bit-identical (incl. high-dim)") {
     // low-dim: the corpus embeddings under the production plane count
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

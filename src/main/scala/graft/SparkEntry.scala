@@ -172,6 +172,11 @@ object SparkEntry {
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
     "q_lp_iter2" -> ((s, d) => DocGraph.lpIter(s, d, 2)),
+    // K-core peel (3 fixed rounds toward the 3-core, exact integer degrees)
+    "q_kcore3_iter3" -> ((s, d) => DocGraph.kcoreIter(s, d, kCore = 3, rounds = 3)),
+    // weighted PageRank (rank flows ∝ deterministic edge weight) — fixed-k
+    // with an exact oracle, same e7 pin as the unweighted family
+    "q_wpr_iter2" -> ((s, d) => DocGraph.wprIter(s, d, 2)),
 
     "q_triangles" -> ((s, d) =>
       s.range(1).select(
@@ -337,6 +342,27 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // deterministic stratified sampling (reproducible, shuffle-free hash
+    // predicate — the 100 TB replacement for RNG df.sample); exact oracle
+    // replays the same integer arithmetic
+    "q_sample_stratified" -> ((s, d) =>
+      operators.Sampling.hashStratifiedPerMille(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 200), defaultPerMille = 50)),
+
+    // corpus vocabulary statistics: top-5 terms per language by frequency —
+    // the token-level analogue of q_top_docs_per_lang (explode + count +
+    // per-group top-k; per-(lang,term) counts partial-aggregate map-side)
+    "q_top_terms_per_lang" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val counts = toks.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(desc("n"), col("term"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    }),
 
     "q_simhash" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), Dedup.simhash(Dedup.shingleHashes(col("text"))).as("sig"))),
@@ -568,6 +594,8 @@ object SparkEntry {
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
     "q_lp_iter2" -> DocGraph.lpIterSql(2),
+    "q_kcore3_iter3" -> DocGraph.kcoreIterSql(3, 3),
+    "q_wpr_iter2" -> DocGraph.wprIterSql(2),
 
     "q_pagerank" -> DocGraph.prIterSql(40),
     "q_cc"       -> DocGraph.ccIterSql(64),
@@ -685,6 +713,19 @@ object SparkEntry {
     // same pattern constant feeds both engines (TextOps.BpeishPattern)
     "q_token_bpeish" ->
       s"SELECT doc_id, ${TextOps.tokenCountBpeishSql("text")} AS n_subtokens FROM documents",
+
+    "q_sample_stratified" ->
+      ("SELECT doc_id, lang FROM documents WHERE " +
+        operators.Sampling.hashStratifiedPerMilleSql(
+          "doc_id", "lang", Map("en" -> 200), defaultPerMille = 50)),
+
+    "q_top_terms_per_lang" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT lang, term, count(*) AS n FROM t WHERE length(term) > 0 GROUP BY lang, term)
+        |SELECT lang, term, n, rn FROM (
+        |  SELECT lang, term, n,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
+        |  FROM c) WHERE rn <= 5""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

@@ -396,6 +396,150 @@ object DocGraph {
     sb.toString
   }
 
+  /**
+   * Exactly `rounds` peel rounds toward the K-core of the UNDIRECTED doc
+   * graph: S₀ = V; Sᵢ₊₁ = { v ∈ Sᵢ : deg_{Sᵢ}(v) ≥ K }. After ≥ degeneracy
+   * rounds this is the exact K-core; the fixed round count keeps an exact
+   * chained-CTE oracle (same fixed-k discipline as [[prIter]]). Output:
+   * (vid, deg) for v ∈ S_rounds, deg being its degree within S_{rounds-1}
+   * (the value the final selection used) — exact integers.
+   */
+  def kcoreIter(spark: SparkSession, sfDir: String, kCore: Int, rounds: Int): DataFrame =
+    kcoreIterEdges(spark, edges(spark, sfDir), kCore, rounds)
+
+  /** [[kcoreIter]] core on an explicit edge table. Like BFS, peeling needs
+    * no per-round driver scalar, so rounds chain LAZY checkpoints (plan
+    * truncated each round, 2^r analysis blowup avoided) and ONE closing
+    * action materializes the chain; per-round cost is two semi-joins against
+    * the src-partitioned cached symmetric edges + one degree aggregate. */
+  private[graft] def kcoreIterEdges(spark: SparkSession, edges0: DataFrame,
+                                    kCore: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one peel round")
+    val (sym, _, parts) = GraphOps.layoutForIteration(
+      GraphOps.symmetrized(edges0.select(
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var surv = GraphOps.vertices(sym).repartition(parts, col("vid"))
+      .localCheckpoint(false)
+    inter += surv
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val alive = sym
+        .join(surv.hint("shuffle_hash"), sym("src") === surv("vid"), "left_semi")
+        .join(surv.withColumnRenamed("vid", "v2").hint("shuffle_hash"),
+          col("dst") === col("v2"), "left_semi")
+      deg = alive.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kCore)
+        .localCheckpoint(false)
+      inter += deg
+      surv = deg.select("vid")
+    }
+    val out = deg.localCheckpoint(true) // the one materializing action
+    inter.foreach(GraphOps.freeCheckpoint)
+    sym.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly `rounds` K-core peel rounds (see [[kcoreIter]]). */
+  def kcoreIterSql(kCore: Int, rounds: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(",\nk0 AS MATERIALIZED (SELECT vid FROM verts)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+        |kd$i AS MATERIALIZED (SELECT s.src AS vid, count(*) AS deg FROM sym s
+        |        JOIN k${i - 1} a ON s.src = a.vid JOIN k${i - 1} b ON s.dst = b.vid
+        |        GROUP BY s.src),
+        |k$i AS MATERIALIZED (SELECT vid, deg FROM kd$i WHERE deg >= $kCore)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, deg FROM k$rounds")
+    sb.toString
+  }
+
+  /**
+   * Exactly k WEIGHTED PageRank supersteps over the doc graph with the
+   * deterministic edge weight w(u,v) = (u+v) mod 5 + 1: rank flows
+   * proportionally to weight — contribution of u along (u,v) is
+   * r(u)·w(u,v)/S(u), S(u) = Σ_x w(u,x) the out-strength. Dangling mass and
+   * damping exactly as [[prIter]]; per-edge arithmetic is written
+   * (r·w)/S in BOTH engines so even the floating-point op order matches;
+   * the e7 floor pins the output. One job per superstep (PageRank.run's
+   * closing-aggregate pattern — Σ transmitted = Σ r over non-dangling holds
+   * because Σ_v w(u,v)/S(u) = 1 exactly as in the unweighted case).
+   */
+  def wprIter(spark: SparkSession, sfDir: String, k: Int,
+              d: Double = 0.85): DataFrame =
+    wprIterEdges(spark, edges(spark, sfDir), k, d)
+
+  private[graft] def wprIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                  d: Double = 0.85,
+                                  broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e0, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val e = e0.withColumn("w", (col("src") + col("dst")) % 5L + 1L)
+    val outS = e.groupBy(col("src").as("vid")).agg(sum(col("w")).as("outS"))
+      .repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e0).repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nV = verts.count()
+    require(nV > 0, "empty graph")
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+
+    var r = verts.join(outS, Seq("vid"), "left")
+      .select(col("vid"), lit(1.0 / nV).as("r"), col("outS"))
+      .localCheckpoint(false)
+    var transmitted = scalarSum(r.filter(col("outS").isNotNull), "r", ifEmpty = 0.0)
+
+    for (_ <- 1 to k) {
+      val dm = 1.0 - transmitted
+      val state = r.filter(col("outS").isNotNull)
+        .select(col("vid"), col("r"), col("outS"))
+      val sums = e.join(pin(state), e("src") === state("vid"))
+        .groupBy(e("dst").as("dvid"))
+        .agg(sum(col("r") * col("w") / col("outS")).as("s"))
+      val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+        .select(r("vid"),
+          (lit((1.0 - d) / nV) + lit(d * dm / nV)
+            + lit(d) * coalesce(col("s"), lit(0.0))).as("r"),
+          r("outS"))
+      val mat = next.localCheckpoint(false)
+      transmitted = scalarSum(mat.filter(col("outS").isNotNull), "r", ifEmpty = 0.0)
+      GraphOps.freeCheckpoint(r)
+      r = mat
+    }
+    e0.unpersist(false); outS.unpersist(false); verts.unpersist(false)
+    r.select(col("vid"),
+      floor(col("r") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"wpr${k}e7"))
+  }
+
+  /** Oracle SQL for exactly k weighted-PageRank supersteps (see [[wprIter]]). */
+  def wprIterSql(k: Int, d: Double = 0.85): String = {
+    val restart = (1.0 - d).toString
+    val damp    = d.toString
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |we AS MATERIALIZED (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM edges),
+        |wstr AS MATERIALIZED (SELECT src AS vid, sum(w) AS s FROM we GROUP BY src),
+        |w0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE)/nv.n AS r FROM verts CROSS JOIN nv)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |ws$i AS MATERIALIZED (SELECT e.dst AS vid, sum(w${i - 1}.r * e.w / o.s) AS s
+        |        FROM we e JOIN w${i - 1} ON e.src = w${i - 1}.vid JOIN wstr o ON e.src = o.vid
+        |        GROUP BY e.dst),
+        |wd$i AS MATERIALIZED (SELECT CAST(1.0 AS DOUBLE) - coalesce(sum(s), CAST(0.0 AS DOUBLE)) AS dm FROM ws$i),
+        |w$i AS MATERIALIZED (SELECT v.vid,
+        |               CAST($restart AS DOUBLE)/nv.n + CAST($damp AS DOUBLE)*wd$i.dm/nv.n
+        |                 + CAST($damp AS DOUBLE)*coalesce(ws$i.s, 0) AS r
+        |        FROM verts v CROSS JOIN nv CROSS JOIN wd$i LEFT JOIN ws$i ON v.vid = ws$i.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, CAST(floor(r*1e7 + 0.500001) AS BIGINT) AS wpr${k}e7 FROM w$k")
+    sb.toString
+  }
+
   /** Exactly k HashMin connected-component supersteps (exact integer labels). */
   def ccIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val sym = GraphOps.symmetrized(edges(spark, sfDir))

@@ -59,6 +59,27 @@ object TemporalProbe {
         .agg(sum("n_in_range")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+
+    // ---- hot-key skew leg (VERDICT r4 #4): asofJoin partitions by key
+    // alone, so one hyperactive key (a bot holding 10% of all events)
+    // serializes into a single task's sort — measure that envelope.
+    val evHot = spark.range(0, n, 1, cores.toInt).select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(7)), lit(users))).as("user_id"),
+        timestamp_micros(lit(base) + pmod(xxhash64(col("id"), lit(11)), lit(span))).as("ts"),
+        when(pmod(xxhash64(col("id"), lit(13)), lit(10)) < 8, "click").otherwise("error")
+          .as("event_type"))
+      .persist()
+    evHot.count()
+    val hotErrors = evHot.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val hotClicks = evHot.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    time("asof_join_hotkey_10pct") {
+      TemporalJoins.asofJoin(hotErrors, hotClicks, "user_id", "ts")
+        .filter(col("click_id").isNotNull).count()
+    }
     spark.stop()
   }
 }

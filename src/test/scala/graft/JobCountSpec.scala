@@ -96,6 +96,20 @@ class JobCountSpec extends SparkSpec {
     assert(j8 - j4 == 0, s"expected a k-independent job count, got j4=$j4 j8=$j8")
   }
 
+  test("weighted PageRank: exactly one job per extra superstep") {
+    val e = pathEdges(noAqe)
+    val j3 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 3, broadcastMaxRows = 0L).count() }
+    val j6 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 6, broadcastMaxRows = 0L).count() }
+    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+  }
+
+  test("k-core peel: zero extra jobs per round (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j2 = jobsDuring { operators.DocGraph.kcoreIterEdges(noAqe, e, 2, 2).count() }
+    val j4 = jobsDuring { operators.DocGraph.kcoreIterEdges(noAqe, e, 2, 4).count() }
+    assert(j4 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j4=$j4")
+  }
+
   test("alternating CC: one job per contraction round plus fixed setup") {
     val e = pathEdges(noAqe)
     var rounds = -1

@@ -351,6 +351,20 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"), col("lang")),
         "doc_id", "lang", Map("en" -> 200), defaultPerMille = 50)),
 
+    // exact nearest-rank (lower) median document length per language —
+    // rank-based so both engines compute the IDENTICAL row (interpolating
+    // median definitions differ between engines; nearest-rank does not)
+    "q_len_median_per_lang" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val ranked = docs(s, d).select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val cnts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("cnt"))
+      ranked.join(cnts, Seq("lang"))
+        // integer div, not `/` (Spark's `/` on longs yields DOUBLE)
+        .filter(col("rn") === call_function("div", col("cnt") + 1L, lit(2L)))
+        .select(col("lang"), col("n_chars").as("median_chars"))
+    }),
+
     // corpus vocabulary statistics: top-5 terms per language by frequency —
     // the token-level analogue of q_top_docs_per_lang (explode + count +
     // per-group top-k; per-(lang,term) counts partial-aggregate map-side)
@@ -718,6 +732,15 @@ object SparkEntry {
       ("SELECT doc_id, lang FROM documents WHERE " +
         operators.Sampling.hashStratifiedPerMilleSql(
           "doc_id", "lang", Map("en" -> 200), defaultPerMille = 50)),
+
+    "q_len_median_per_lang" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang)
+        |SELECT r.lang, r.n_chars AS median_chars
+        |FROM r JOIN c ON r.lang = c.lang WHERE r.rn = (c.cnt + 1) // 2""".stripMargin,
 
     "q_top_terms_per_lang" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -100,6 +100,35 @@ object EventStream {
       }
   }
 
+  /**
+   * Stream-stream INNER join with an event-time interval condition — the
+   * two-stream member of the §3.8 surface (windows/sessions/stateful cover
+   * single streams): for every error, the clicks by the same user in the
+   * preceding hour, the streaming form of
+   * [[graft.operators.TemporalJoins.countInRange]]'s feature. The equi key
+   * (user) drives a symmetric hash join; the interval bound PLUS both
+   * watermarks are what let Spark expire buffered rows on both sides —
+   * without them stream-stream join state grows forever. Inner-join matches
+   * are emitted as soon as both rows have arrived (the watermark only
+   * gates state cleanup), so end-of-stream output equals the batch join
+   * exactly — pinned by StreamingSpec.
+   */
+  def clicksBeforeErrors(errors: DataFrame, clicks: DataFrame,
+                         watermark: String = "2 hours",
+                         windowSql: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val e = errors.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    val c = clicks.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    e.join(c, col("e_user") === col("c_user") &&
+      col("c_ts") >= col("e_ts") - expr(windowSql) && col("c_ts") < col("e_ts"))
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink; return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   outputMode: String = "append"): DataFrame = {

@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSpec {
     rows.foreach { case (uid, eid) => assert(byEvent(eid) == uid) }
   }
 
+  test("stream-stream interval join equals the batch join exactly") {
+    val schema = EventStream.eventsSchema(spark, path)
+    // two INDEPENDENT streams from the same source dir, multi-file so rows
+    // of a matching pair can arrive in different micro-batches (the join
+    // state genuinely buffers across batches). The repartitioned files are
+    // TIME-DISORDERED, so the watermark must exceed that disorder (the whole
+    // 30-day span) or rows legitimately drop as late — observed: 2/7 pairs
+    // survive a 2h watermark. Real pipelines pick the watermark from real
+    // arrival lateness; equality-vs-batch needs no-late-drops here.
+    val multi = java.nio.file.Files.createTempDirectory("graft-stream-ssj").toString
+    spark.read.parquet(path).repartition(4).write.mode("overwrite").parquet(multi)
+    def stream(tpe: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(multi)
+      .filter(col("event_type") === tpe)
+    val got = EventStream.runToMemory(spark,
+        EventStream.clicksBeforeErrors(stream("error"), stream("click"),
+          watermark = "2400 hours"),
+        "ssj", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = spark.read.parquet(multi).withColumn("ts", col("ts").cast("timestamp"))
+    val want = batch.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+      .join(batch.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts")),
+        Seq("user_id"))
+      .filter(col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR") && col("c_ts") < col("e_ts"))
+      .select("error_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size} pairs")
+  }
+
   test("session windows produce per-user sessions with positive event counts") {
     val schema   = EventStream.eventsSchema(spark, path)
     val sessions = EventStream.runToMemory(spark,

@@ -55,19 +55,40 @@ object Bench {
       .split("\\s+").drop(1).map(_.toLong)
     catch { case _: Throwable => Array.empty[Long] }
 
+  /** Cumulative shuffle bytes observed by the listener below — read as
+    * before/after deltas per run. The listener bus is asynchronous, so a
+    * straggling task-end event can land in the NEXT run's delta; per-query
+    * shuffle volume in `query_runs` is therefore evidence-grade (which plans
+    * shuffle, and roughly how much), not an exact accounting. */
+  private val shufRead  = new java.util.concurrent.atomic.AtomicLong()
+  private val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+
+  private def installShuffleListener(spark: SparkSession): Unit =
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
   /** One measured run with its own contention context. */
-  private final case class Run(sec: Double, load: String, stealPct: Double, busyPct: Double) {
+  private final case class Run(sec: Double, load: String, stealPct: Double, busyPct: Double,
+                               shufReadMB: Double, shufWriteMB: Double) {
     // Double.toString is locale-independent; the f-interpolator is NOT (a
     // comma-decimal default locale would corrupt the one JSON output line)
     private def r(v: Double, dp: Double): String = (math.rint(v * dp) / dp).toString
     def json: String =
-      s"""{"sec":${r(sec, 1000)},"load":"$load","steal_pct":${r(stealPct, 100)},"busy_pct":${r(busyPct, 10)}}"""
+      s"""{"sec":${r(sec, 1000)},"load":"$load","steal_pct":${r(stealPct, 100)},"busy_pct":${r(busyPct, 10)},"shuf_read_mb":${r(shufReadMB, 100)},"shuf_write_mb":${r(shufWriteMB, 100)}}"""
   }
 
-  /** Times `body`, sandwiching it between /proc snapshots. */
+  /** Times `body`, sandwiching it between /proc + shuffle-counter snapshots. */
   private def measured(body: => Unit): Run = {
     val l  = loadavg()
     val j0 = cpuJiffies()
+    val sr0 = shufRead.get(); val sw0 = shufWrite.get()
     val t0 = System.nanoTime()
     body
     val sec = (System.nanoTime() - t0) / 1e9
@@ -78,7 +99,8 @@ object Bench {
         val idle = (j1(3) - j0(3)) + (j1(4) - j0(4)) // idle + iowait
         ((j1(7) - j0(7)) / tot * 100.0, (1.0 - idle / tot) * 100.0)
       } else (-1.0, -1.0)
-    Run(sec, l, steal, busy)
+    Run(sec, l, steal, busy,
+      (shufRead.get() - sr0) / 1048576.0, (shufWrite.get() - sw0) / 1048576.0)
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,6 +115,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    installShuffleListener(spark)
 
     val loadStart = loadavg()
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -218,7 +241,9 @@ object Bench {
     // full per-run contention evidence goes to `SPARK_GRAFT_RUNS_OUT`
     // (default BENCH/runs_latest.json, committed per round as runs_rN.json).
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def qsAt(dp: Double): String = results.map { case (k, v) =>
+      "\"" + k + "\":" + (math.rint(v * dp) / dp).toString }.mkString("{", ",", "}")
+    val qs = qsAt(1000)
     val qruns = runLog.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(_.json).mkString("[", ",", "]") }.mkString("{", ",", "}")
     // total is wall seconds only — explicitly-registered metric keys (rates,
@@ -235,12 +260,17 @@ object Bench {
       java.nio.file.Files.write(p, fullRecord.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $runsPath: ${e.getMessage}") }
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_file":"$runsPath"}"""
     // the tail capture is ~2000 chars; the line must fit WHOLE or the round's
-    // official artifact is unparseable again — fail loudly in local runs
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING stdout line is ${line.length} chars — trim keys")
+    // official artifact is unparseable again (r4). Degrade per-query decimal
+    // precision adaptively (3dp → 2dp → 1dp) instead of overflowing — the
+    // full-precision values are always in the runs file.
+    def lineAt(dp: Double): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsAt(dp)},"sf":"$sfDir","runs_file":"$runsPath"}"""
+    val line = Seq(1000.0, 100.0, 10.0).map(lineAt).find(_.length <= 1900)
+      .getOrElse {
+        System.err.println("[bench] WARNING stdout line exceeds 1900 chars even at 1dp")
+        lineAt(10.0)
+      }
     println(line)
     spark.stop()
   }

@@ -556,6 +556,97 @@ object SparkEntry {
       val pages = graft.sources.PageSynth.pages(s, DocGraph.nDocs(s, d)).toDF()
       GraphOps.edgesFromPages(pages)
         .groupBy((col("src") % 16).as("bucket16")).agg(count(lit(1)).as("n_edges"))
+    }),
+
+    // local clustering coefficient, integer-exact: per-vertex triangle count
+    // over per-vertex wedge count (deg·(deg−1)/2) — emitted as the integer
+    // pair rather than their float ratio so the driver hash is exact; the
+    // ratio is a projection the user divides at read time
+    "q_clust_coeff" -> ((s, d) => {
+      val e   = DocGraph.edges(s, d)
+      val und = GraphOps.undirected(e)
+      val deg = und.select(col("a").as("vid")).unionAll(und.select(col("b").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+      deg.filter(col("deg") >= 2)
+        .join(Triangles.perVertex(s, e), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("triangles"),
+          // integer div, not `/` (Spark's `/` on longs yields DOUBLE)
+          call_function("div", col("deg") * (col("deg") - 1L), lit(2L)).as("wedges"))
+    }),
+
+    // Bloom pre-filtered semi-join: the probe side (orders) is filtered by a
+    // compiled Bloom membership predicate BEFORE any shuffle, then an exact
+    // semi-join removes the ≤fpp false positives — exact by construction
+    // (no false negatives), so the plain IN-subquery oracle applies
+    "q_bloom_semi" -> ((s, d) => {
+      val bld = cust(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      operators.BloomJoin.bloomSemiJoin(orders(s, d), "o_custkey", bld, "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_cents"))
+    }),
+
+    // sketch gate: HyperLogLog++ distinct count (the 100 TB answer to
+    // COUNT(DISTINCT)) alongside the exact count, emitting the exact value
+    // plus a 5%-error gate the sketch must clear. HLL is hash-based and
+    // RNG-free, so the gate is deterministic for a fixed corpus; rsd=2%
+    // leaves a wide margin under the 5% bar (verified at every sf on disk).
+    "q_hll_gate" -> ((s, d) => li(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("hll"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        (abs(col("hll") - col("exact_distinct"))
+          <= col("exact_distinct") * lit(0.05)).as("hll_ok"))),
+
+    // sketch gate: Greenwald–Khanna approximate percentile vs the exact
+    // interpolated median. Output carries the EXACT median (×2 so the even-n
+    // midpoint average stays an integer in cents) plus a RANK gate, not a
+    // value gate: the sketch returns an actual order statistic (no
+    // interpolation), so its VALUE can differ from the interpolated median
+    // by half an inter-element gap regardless of sketch quality — the GK
+    // guarantee is that its rank is within ε·n of the target (ε = 1/accuracy
+    // = 1e-4 here, plus ±1 discretization). The gate brackets it between the
+    // exact 0.47 and 0.53 percentiles (30× margin), which holds for ANY
+    // partition merge order, so the gate is deterministic even though the
+    // sketch value itself is not an output column.
+    "q_pctl_gate" -> ((s, d) => orders(s, d)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("tp_cents"))
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("tp_cents"), lit(0.5)).as("p50"),
+        percentile(col("tp_cents"), lit(0.47)).as("p_lo"),
+        percentile(col("tp_cents"), lit(0.53)).as("p_hi"),
+        percentile_approx(col("tp_cents"), lit(0.5), lit(10000)).as("p50a"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        round(col("p50") * 2).cast("long").as("median_x2_cents"),
+        (col("p50a") >= col("p_lo") && col("p50a") <= col("p_hi")).as("pctl_ok"),
+        col("n"))),
+
+    // CSV source/sink proof: full-width orders round-trip (every column class
+    // — int64, string, double, timestamp[us]) through headered CSV with an
+    // explicit schema + FAILFAST, then an aggregate the oracle replays over
+    // the parquet originals — any parse/format infidelity breaks the hash
+    "q_csv_source" -> ((s, d) => {
+      val rt = graft.sources.TextFormats.csvRoundTrip(s, orders(s, d),
+        "orders_" + (d.hashCode & 0x7fffffff))
+      rt.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"),
+        min(col("o_orderdate")).as("first_dt"),
+        max(col("o_orderdate")).as("last_dt"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+    }),
+
+    // JSON-lines source/sink proof, same shape over lineitem
+    "q_jsonl_source" -> ((s, d) => {
+      val rt = graft.sources.TextFormats.jsonlRoundTrip(s, li(s, d),
+        "lineitem_" + (d.hashCode & 0x7fffffff))
+      rt.groupBy("l_linestatus").agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("ep_cents"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        max(col("l_shipdate")).as("last_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
     })
   )
 
@@ -818,6 +909,64 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY a.vec_id
         |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rnk
         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-        |  WHERE a.vec_id < 50) WHERE rnk <= 5""".stripMargin
+        |  WHERE a.vec_id < 50) WHERE rnk <= 5""".stripMargin,
+
+    // integer-exact clustering coefficient components: same 3-corner triangle
+    // CTE as q_triangles_per_vertex, joined to undirected degrees; `//` is
+    // DuckDB integer division (deg·(deg−1) is always even)
+    "q_clust_coeff" ->
+      s"""$G, tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |tpv AS (SELECT vid, count(*) AS triangles FROM (
+         |  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY vid),
+         |udeg AS (SELECT vid, count(*) AS deg FROM (
+         |  SELECT a AS vid FROM und UNION ALL SELECT b AS vid FROM und) GROUP BY vid)
+         |SELECT u.vid, coalesce(t.triangles, 0) AS triangles,
+         |       (u.deg * (u.deg - 1)) // 2 AS wedges
+         |FROM udeg u LEFT JOIN tpv t USING (vid) WHERE u.deg >= 2""".stripMargin,
+
+    // the bloom pre-filter is exactness-preserving (no false negatives; the
+    // closing semi-join removes false positives), so the oracle is the plain
+    // IN-subquery semi-join
+    "q_bloom_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // sketch gates: the oracle pins the EXACT value and asserts the gate held
+    // (the sketch value itself is not an output column — see the query-side
+    // comments for why the gates are deterministic)
+    "q_hll_gate" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
+        |       true AS hll_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_pctl_gate" ->
+      """SELECT o_orderpriority,
+        |       CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) * 2) AS BIGINT)
+        |         AS median_x2_cents,
+        |       true AS pctl_ok, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // the round-trips are lossless by construction, so the oracles are the
+    // same aggregates over the parquet originals
+    "q_csv_source" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |       min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt,
+        |       count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_jsonl_source" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ep_cents,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |       max(l_shipdate) AS last_ship,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin
   )
 }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * CSV / JSON-lines source + sink surface (SURVEY §3.1), proven by lossless
+ * round-trips: write a table out, read it back with an EXPLICIT schema, and
+ * let the driver's DuckDB oracle verify an aggregate over the round-tripped
+ * rows equals the same aggregate over the parquet originals.
+ *
+ * Scale rules encoded here (each is a 100 TB decision, not a style choice):
+ *  - **Explicit schema, never inference.** `inferSchema` is a full extra
+ *    pass over the data (2× read at 100 TB) and its verdict can drift with
+ *    sampling; a production text source always declares its schema.
+ *  - **FAILFAST parse mode.** The default PERMISSIVE mode silently turns a
+ *    corrupt row into nulls — at web scale that is a data-loss bug you find
+ *    weeks later. A correctness-first engine throws at the first bad record.
+ *  - **Microsecond-explicit timestamp formats** on both write and read, so
+ *    the round-trip is bit-exact for the engine's timestamp[us] columns
+ *    (the default writer format keeps milliseconds only).
+ *  - **`\N` null sentinel** (the classic text-dump convention) so NULL and
+ *    empty-string survive a CSV round-trip as distinct values.
+ *  - Doubles round-trip exactly with no options: both writers emit the
+ *    shortest decimal representation (`Double.toString`), whose parse is
+ *    the identity by the Java floating-point grammar.
+ *
+ * Paths are per-application and overwritten per call: deterministic output,
+ * no cross-JVM staleness, no cleanup dependency.
+ */
+object TextFormats {
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private val common = Map(
+    "timestampFormat"    -> TsFmt,
+    "timestampNTZFormat" -> TsFmt,
+    "nullValue"          -> "\\N")
+
+  private def dir(spark: SparkSession, fmt: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_fmt/${spark.sparkContext.applicationId}/${fmt}_$tag"
+
+  /** Write `df` as headered CSV, read it back with `df`'s own schema. */
+  def csvRoundTrip(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val path = dir(spark, "csv", tag)
+    df.write.mode(SaveMode.Overwrite).options(common).option("header", "true").csv(path)
+    spark.read.schema(df.schema).options(common)
+      .option("header", "true").option("mode", "FAILFAST").csv(path)
+  }
+
+  /** Write `df` as JSON lines, read it back with `df`'s own schema. */
+  def jsonlRoundTrip(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val path = dir(spark, "jsonl", tag)
+    df.write.mode(SaveMode.Overwrite).options(common).json(path)
+    spark.read.schema(df.schema).options(common).option("mode", "FAILFAST").json(path)
+  }
+}

@@ -647,6 +647,93 @@ object SparkEntry {
         sum(col("l_quantity").cast("long")).as("qty"),
         max(col("l_shipdate")).as("last_ship"),
         countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // JSON path extraction over the events.props payload column —
+    // `get_json_object` is a codegen'd built-in (no UDF); the corpus is
+    // verified clean (`{"k": int}` everywhere) so the ANSI cast is safe, and
+    // the all-null guards keep the aggregate columns NULL-free for the
+    // driver's integer hash
+    "q_json_props" -> ((s, d) => events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("k")), lit(-1L)).as("sum_k"),
+        coalesce(max(col("k")), lit(-1L)).as("max_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"))),
+
+    // edge reciprocity: how many directed links have a reverse link — a
+    // one-shuffle self-semi-join on the swapped key pair (a web-graph health
+    // metric; the symmetric join keys co-partition, so at scale this is one
+    // hash shuffle of the edge list, never a broadcast of it)
+    "q_reciprocity" -> ((s, d) => {
+      val e   = DocGraph.edges(s, d)
+      // edges are distinct pairs by construction (A7), so the reversed set is
+      // too — the left join marks without multiplying, and both counts come
+      // out of ONE pass (a 1×1 cross join of two separate aggregates would
+      // plan the BNLJ the engine bans everywhere else)
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("rec", lit(1L))
+      e.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("rec"), lit(0L))).as("n_reciprocal"))
+    }),
+
+    // pivot (long→wide): revenue cents per (priority × status) with the
+    // status domain pinned explicitly — an unpinned pivot is a driver-side
+    // distinct scan AND a nondeterministic column order at scale
+    "q_pivot_status" -> ((s, d) => orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(cents(col("o_totalprice"))))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("o_cents"),
+        coalesce(col("F"), lit(0L)).as("f_cents"),
+        coalesce(col("P"), lit(0L)).as("p_cents"))),
+
+    // unpivot (wide→long): the inverse reshape, measure domain pinned
+    "q_unpivot_returns" -> ((s, d) => li(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("ep_cents"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("ep_cents")), "measure", "value")),
+
+    // GROUPING SETS — the general form rollup/cube specialize; same 'ALL'
+    // sentinel convention as q_rollup_returns (flags are verified non-null,
+    // so the sentinel is unambiguous)
+    "q_grouping_sets" -> ((s, d) => {
+      li(s, d).createOrReplaceTempView("li_gsets")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS ep_cents
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
+    // ordered distinct string aggregation (collect_set is unordered by
+    // contract — the explicit array_sort is what makes the result
+    // deterministic and hashable)
+    "q_string_agg" -> ((s, d) => docs(s, d)
+      .groupBy("lang")
+      .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources_csv"),
+        count(lit(1)).as("n_docs"))),
+
+    // lag-window event gaps: per-user max inter-event gap + count of >1h
+    // gaps, in exact µs (single-event users: max gap −1 sentinel, not NULL —
+    // the driver hash can't carry integer NULLs)
+    "q_event_deltas" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(max(col("gap")), lit(-1L)).as("max_gap_us"),
+          sum(when(col("gap") > lit(3600000000L), 1L).otherwise(0L)).as("n_gaps_1h"))
     })
   )
 
@@ -967,6 +1054,64 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
         |       max(l_shipdate) AS last_ship,
         |       count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem GROUP BY l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_json_props" ->
+      """WITH ex AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(coalesce(sum(k), -1) AS BIGINT) AS sum_k,
+        |       coalesce(max(k), -1) AS max_k,
+        |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+        |FROM ex GROUP BY event_type""".stripMargin,
+
+    "q_reciprocity" ->
+      s"""$G SELECT
+         |  (SELECT count(*) FROM edges) AS n_edges,
+         |  (SELECT count(*) FROM edges e
+         |     WHERE EXISTS (SELECT 1 FROM edges r
+         |                   WHERE r.src = e.dst AND r.dst = e.src)) AS n_reciprocal""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus='O'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus='F'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus='P'
+        |    THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS p_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_unpivot_returns" ->
+      """WITH ag AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ep_cents
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM ag
+        |UNION ALL
+        |SELECT l_returnflag, 'ep_cents' AS measure, ep_cents AS value FROM ag""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ep_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_event_deltas" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       coalesce(max(gap), -1) AS max_gap_us,
+        |       CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_1h
+        |FROM g GROUP BY user_id""".stripMargin
   )
 }

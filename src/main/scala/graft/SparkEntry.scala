@@ -734,6 +734,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           coalesce(max(col("gap")), lit(-1L)).as("max_gap_us"),
           sum(when(col("gap") > lit(3600000000L), 1L).otherwise(0L)).as("n_gaps_1h"))
+    }),
+
+    // MERGE / changeset application: a deterministic synthetic changeset
+    // (deletes %97, updates %91 with +100.00 price, inserts %89 re-keyed
+    // +1e8 — headroom verified: max o_orderkey is 149 999 at sf0.1) applied
+    // via ONE anti-join + union; the oracle replays the same set algebra
+    "q_merge_orders" -> ((s, d) => {
+      val base = orders(s, d)
+      val del = base.filter(col("o_orderkey") % 97 === 0).withColumn("op", lit("D"))
+      val upd = base.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val ins = base.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("op", lit("I"))
+      val merged = operators.Merge.applyChanges(
+        base, del.unionByName(upd).unionByName(ins), "o_orderkey")
+      merged.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("rev_cents"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
+
+    // funnel analysis: users who completed signup → click → purchase in
+    // strict timestamp order — conditional min-per-type aggregation (one
+    // shuffle on user_id; the sequence test is a pure projection after it)
+    "q_funnel" -> ((s, d) => {
+      val perUser = events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("us"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("us"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("t_signup") < col("t_click"), 1L).otherwise(0L)).as("n_s_then_c"),
+        sum(when(col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
+          .otherwise(0L)).as("n_s_c_p"))
     })
   )
 
@@ -1112,6 +1152,39 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |       coalesce(max(gap), -1) AS max_gap_us,
         |       CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_1h
-        |FROM g GROUP BY user_id""".stripMargin
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    // the same changeset algebra in set SQL: base minus changed keys, plus
+    // the update and insert images
+    "q_merge_orders" ->
+      """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (SELECT * REPLACE (o_totalprice + 100 AS o_totalprice)
+        |        FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey % 97 <> 0),
+        |ins AS (SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+        |        FROM orders WHERE o_orderkey % 89 = 0),
+        |chkeys AS (SELECT o_orderkey FROM del
+        |  UNION ALL SELECT o_orderkey FROM upd
+        |  UNION ALL SELECT o_orderkey FROM ins),
+        |merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chkeys)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |  max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    "q_funnel" ->
+      """WITH pu AS (SELECT user_id,
+        |  min(CASE WHEN event_type='signup'   THEN epoch_us(ts) END) AS t_signup,
+        |  min(CASE WHEN event_type='click'    THEN epoch_us(ts) END) AS t_click,
+        |  min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_s_then_c,
+        |  CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_s_c_p
+        |FROM pu""".stripMargin
   )
 }

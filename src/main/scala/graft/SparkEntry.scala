@@ -774,6 +774,17 @@ object SparkEntry {
         sum(when(col("t_signup") < col("t_click"), 1L).otherwise(0L)).as("n_s_then_c"),
         sum(when(col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
           .otherwise(0L)).as("n_s_c_p"))
+    }),
+
+    // deterministic hash-guided 3-step walks from every 10th vertex —
+    // DeepWalk-style corpus generation with the RNG replaced by integer
+    // arithmetic both engines replay exactly (see RandomWalk scaladoc)
+    "q_randwalk3" -> ((s, d) => {
+      val e = DocGraph.edges(s, d)
+      val seeds = e.select(col("src").as("vid"))
+        .unionAll(e.select(col("dst").as("vid"))).distinct()
+        .filter(col("vid") % 10 === 0).select(col("vid").as("seed"))
+      operators.RandomWalk.walk(e, seeds, 3)
     })
   )
 
@@ -1185,6 +1196,9 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_s_then_c,
         |  CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_s_c_p
-        |FROM pu""".stripMargin
+        |FROM pu""".stripMargin,
+
+    "q_randwalk3" ->
+      s"$G${operators.RandomWalk.walkSql("vid % 10 = 0", 3)}\nSELECT seed, v1, v2, v3 FROM w3"
   )
 }

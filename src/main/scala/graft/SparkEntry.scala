@@ -785,6 +785,26 @@ object SparkEntry {
         .unionAll(e.select(col("dst").as("vid"))).distinct()
         .filter(col("vid") % 10 === 0).select(col("vid").as("seed"))
       operators.RandomWalk.walk(e, seeds, 3)
+    }),
+
+    // tf-idf-style top terms per document (df-reciprocal variant): rank by
+    // tf/df — monotone in the exact rational, and IEEE division of equal
+    // rationals yields the identical double in both engines, so the order
+    // (with the term tie-break) is bit-deterministic. log-idf would rank
+    // slightly differently but cannot be pinned exactly cross-engine; tf and
+    // df ride along so any idf transform is a downstream projection.
+    "q_tfidf_top" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+      tf.join(dfr, Seq("term"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "rn")
     })
   )
 
@@ -1199,6 +1219,17 @@ object SparkEntry {
         |FROM pu""".stripMargin,
 
     "q_randwalk3" ->
-      s"$G${operators.RandomWalk.walkSql("vid % 10 = 0", 3)}\nSELECT seed, v1, v2, v3 FROM w3"
+      s"$G${operators.RandomWalk.walkSql("vid % 10 = 0", 3)}\nSELECT seed, v1, v2, v3 FROM w3",
+
+    "q_tfidf_top" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+        |       WHERE length(term) > 0 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, term, tf, df, rn FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE)/df.df DESC, tf.term) AS BIGINT) AS rn
+        |  FROM tf JOIN df USING (term)) WHERE rn <= 3""".stripMargin
   )
 }

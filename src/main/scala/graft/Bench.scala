@@ -242,7 +242,11 @@ object Bench {
     // (default BENCH/runs_latest.json, committed per round as runs_rN.json).
     def r3(v: Double): String = (math.rint(v * 1000) / 1000).toString
     def qsAt(dp: Double): String = results.map { case (k, v) =>
-      "\"" + k + "\":" + (math.rint(v * dp) / dp).toString }.mkString("{", ",", "}")
+      // dp=1 is the integer rung: Double.toString(32.0) is "32.0", which
+      // would give the rung zero savings — print a Long there
+      val s = if (dp <= 1.0) math.rint(v).toLong.toString
+              else (math.rint(v * dp) / dp).toString
+      "\"" + k + "\":" + s }.mkString("{", ",", "}")
     val qs = qsAt(1000)
     val qruns = runLog.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(_.json).mkString("[", ",", "]") }.mkString("{", ",", "}")
@@ -262,14 +266,16 @@ object Bench {
       System.err.println(s"[bench] could not write $runsPath: ${e.getMessage}") }
     // the tail capture is ~2000 chars; the line must fit WHOLE or the round's
     // official artifact is unparseable again (r4). Degrade per-query decimal
-    // precision adaptively (3dp → 2dp → 1dp) instead of overflowing — the
-    // full-precision values are always in the runs file.
+    // precision adaptively (3dp → 2dp → 1dp → 0dp) instead of overflowing —
+    // the full-precision values are always in the runs file. (78 keys at 1dp
+    // measured 1932 chars, so the integer rung is load-bearing, not
+    // theoretical.)
     def lineAt(dp: Double): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsAt(dp)},"sf":"$sfDir","runs_file":"$runsPath"}"""
-    val line = Seq(1000.0, 100.0, 10.0).map(lineAt).find(_.length <= 1900)
+    val line = Seq(1000.0, 100.0, 10.0, 1.0).map(lineAt).find(_.length <= 1900)
       .getOrElse {
-        System.err.println("[bench] WARNING stdout line exceeds 1900 chars even at 1dp")
-        lineAt(10.0)
+        System.err.println("[bench] WARNING stdout line exceeds 1900 chars even at 0dp")
+        lineAt(1.0)
       }
     println(line)
     spark.stop()

@@ -291,6 +291,15 @@ object HashExprs {
     require(groupOffsets.length == coarse.length + 1 &&
       groupOffsets.head == 0 && groupOffsets.last == fineIds.length,
       "groupOffsets must delimit fineIds per coarse group")
+    // the model arrays are plan constants — a mis-assembled model must fail
+    // HERE, loudly, not per row (a per-row null would silently empty every
+    // ANN result). Only the INPUT vector's dim can vary per row.
+    require(cProbe > 0 && top > 0, s"cProbe=$cProbe and top=$top must be positive")
+    require(coarse.isEmpty || coarse.forall(_.length == coarse(0).length),
+      "coarse centroid rows must share one dimensionality")
+    require(fineFlat.length ==
+      fineIds.length * (if (coarse.isEmpty) 0 else coarse(0).length),
+      s"fineFlat length ${fineFlat.length} != nFine ${fineIds.length} × dim")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullable: Boolean = true
     private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
@@ -302,8 +311,9 @@ object HashExprs {
     private val dim = if (coarse.isEmpty) 0 else coarse(0).length
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
-      if (coarse.exists(_.length != v.numElements()) ||
-        fineFlat.length != fineIds.length * dim) return null
+      // input-dependent check only: a row whose vector dim differs from the
+      // model yields null (same contract as CentroidTopExpr, spec-pinned)
+      if (v.numElements() != dim) return null
       val d = v.numElements()
       // level 1: top-cProbe coarse groups (dot desc, smaller index first) —
       // same insertion-selection as CentroidTopExpr

@@ -181,6 +181,13 @@ object GraphOps {
    */
   def globalRank(df: DataFrame, parts: Int, numTiles: Int, sortCols: Column*): DataFrame = {
     require(sortCols.nonEmpty, "globalRank needs sort columns")
+    // fail loudly instead of clobbering: `rn`/`tile` are outputs, `__pid`/
+    // `__seq` are internals dropped at the end — an input frame carrying any
+    // of them (plausible when re-ranking ranked data) would be silently
+    // overwritten or lose the column
+    val reserved = Seq("rn", "__pid", "__seq") ++ (if (numTiles > 0) Seq("tile") else Nil)
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"globalRank reserves columns ${clash.mkString(", ")} — rename them first")
     val seqMask = (1L << 33) - 1
     val laid = df.repartitionByRange(math.max(parts, 1), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

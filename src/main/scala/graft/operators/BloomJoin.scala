@@ -78,15 +78,20 @@ object BloomJoin {
    */
   def bloomSemiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
                     fpp: Double = 0.01): DataFrame = {
-    val expected = math.max(small.count(), 1L)
-    val bf  = small.stat.bloomFilter(smallKey, expected, fpp)
+    // ONE pass computes the deduped build-side key set; the sizing count,
+    // the filter-build aggregate, and the closing semi-join all read the
+    // checkpointed blocks instead of re-running the (possibly expensive)
+    // plan behind `small` three times. The blocks are |keys|-sized — small
+    // by this operator's contract — and live until the frame is GC'd.
+    val keys = small.select(col(smallKey).as("__bj_key")).distinct()
+      .localCheckpoint(true)
+    val expected = math.max(keys.count(), 1L)
+    val bf  = keys.stat.bloomFilter("__bj_key", expected, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     val pre = big.filter(mightContain(col(bigKey), bos.toByteArray))
     // false-positive cleanup: exact equi-semi-join against the build keys
-    // (small by contract — typically broadcast; survivors, not |big|, shuffle
-    // if it is not)
-    pre.join(small.select(col(smallKey).as("__bj_key")).distinct(),
-      col(bigKey) === col("__bj_key"), "left_semi")
+    // (typically broadcast; survivors, not |big|, shuffle if it is not)
+    pre.join(keys, col(bigKey) === col("__bj_key"), "left_semi")
   }
 }

@@ -39,9 +39,18 @@ object Merge {
    */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
                    opCol: String = "op"): DataFrame = {
+    // op outside {I,U,D} (including NULL) must fail LOUDLY at execution: a
+    // plain `op =!= "D"` filter would evaluate NULL-op rows to NULL → the
+    // row silently vanishes from the re-insert union while its key still
+    // anti-joins the base row away — a silent delete. raise_error makes the
+    // contract a per-row codegen'd check, no extra pass over the changeset.
+    val opChecked = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"Merge: op column '$opCol' must be I, U or D; got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val changedKeys = changes.select(col(keyCol))
     base.join(changedKeys, Seq(keyCol), "left_anti")
-      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol)
+      .unionByName(changes.filter(opChecked =!= "D").drop(opCol)
         // normalize to base's column order so the merged frame's schema is
         // positionally identical to the base snapshot it replaces
         .select(base.columns.map(col).toIndexedSeq: _*))

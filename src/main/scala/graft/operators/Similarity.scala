@@ -234,6 +234,22 @@ object Similarity {
     * arithmetic — bit-reproducible for identical inputs. Used ONLY on model
     * parameters (the fine-centroid set, O(nlist·dim) doubles), never row
     * data. */
+  /** Index of the max-dot centroid over an ascending scan with strict `>`,
+    * so ties resolve to the SMALLER index — the one tie-break rule
+    * CentroidTopGroupedExpr's exact-twin recall proof depends on (identical
+    * vector ⇒ identical scan ⇒ identical assignment), defined exactly once. */
+  private[graft] def argmaxDot(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c); var s = 0.0; var i = 0
+      while (i < ce.length) { s += p(i) * ce(i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
   private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
                                  iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty && k > 0)
@@ -248,14 +264,7 @@ object Similarity {
       var j = 0
       while (j < n) {
         val p = points(j)
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < kk) {
-          var s = 0.0; var i = 0
-          while (i < dim) { s += p(i) * cents(c)(i); i += 1 }
-          if (s > bestDot) { bestDot = s; best = c }
-          c += 1
-        }
+        val best = argmaxDot(p, cents)
         val acc = sums(best); var i = 0
         while (i < dim) { acc(i) += p(i); i += 1 }
         cnts(best) += 1
@@ -298,10 +307,12 @@ object Similarity {
                       nProbe: Int = 4, cProbe: Int = 4,
                       nCentroids: Int = 0, targetListSize: Int = 8): DataFrame = {
     val docsv = docs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val n = docsv.count()
     val nlist =
-      if (nCentroids > 0) nCentroids
-      else math.max(16, math.min(1 << 17, (n / targetListSize).toInt))
+      if (nCentroids > 0) nCentroids // explicit size: skip the corpus count
+      else {
+        val n = docsv.count()
+        math.max(16, math.min(1 << 17, (n / targetListSize).toInt))
+      }
     // fine centroids: hash-ordered sample of the corpus itself (unit-
     // normalized; argmax dot ≡ argmax cosine). O(nlist·dim) driver traffic —
     // model parameters, not row data.
@@ -317,19 +328,8 @@ object Similarity {
     val trainStep = math.max(1, fine.length / 20000)
     val coarse = localKMeans(
       Array.range(0, fine.length, trainStep).map(fine(_)), nCoarse, iters = 3)
-    // group fine centroids by their coarse assignment (dot argmax, ties
-    // toward the smaller coarse index — mirrors the expression's own order)
-    val groupOf = fine.map { f =>
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < coarse.length) {
-        var s = 0.0; var i = 0
-        while (i < dim) { s += f(i) * coarse(c)(i); i += 1 }
-        if (s > bestDot) { bestDot = s; best = c }
-        c += 1
-      }
-      best
-    }
+    // group fine centroids by their coarse assignment
+    val groupOf = fine.map(argmaxDot(_, coarse))
     val order = fine.indices.sortBy(j => (groupOf(j), j)).toArray
     val fineIds = order
     val fineFlat = new Array[Float](order.length * dim)

@@ -19,7 +19,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  *    the round-trip is bit-exact for the engine's timestamp[us] columns
  *    (the default writer format keeps milliseconds only).
  *  - **`\N` null sentinel** (the classic text-dump convention) so NULL and
- *    empty-string survive a CSV round-trip as distinct values.
+ *    empty-string survive a CSV round-trip as distinct values. CONTRACT
+ *    LIMIT, inherent to the convention (MySQL dumps share it): a string
+ *    value exactly equal to the sentinel reads back as NULL — the sentinel
+ *    match applies after unquoting, so quoting cannot protect it. Pinned by
+ *    TextFormatsSpec; longer strings containing `\N` are unaffected.
+ *  - **`multiLine` CSV read** so embedded newlines in quoted strings
+ *    round-trip instead of failing the parse. Cost, stated plainly: a
+ *    multiLine CSV file is not splittable (one task per file), so the CSV
+ *    path trades scan parallelism for fidelity — at 100 TB, JSONL (which
+ *    escapes newlines natively and stays splittable) is the right text
+ *    format; CSV is the compat/interchange path.
  *  - Doubles round-trip exactly with no options: both writers emit the
  *    shortest decimal representation (`Double.toString`), whose parse is
  *    the identity by the Java floating-point grammar.
@@ -43,7 +53,8 @@ object TextFormats {
     val path = dir(spark, "csv", tag)
     df.write.mode(SaveMode.Overwrite).options(common).option("header", "true").csv(path)
     spark.read.schema(df.schema).options(common)
-      .option("header", "true").option("mode", "FAILFAST").csv(path)
+      .option("header", "true").option("mode", "FAILFAST")
+      .option("multiLine", "true").csv(path)
   }
 
   /** Write `df` as JSON lines, read it back with `df`'s own schema. */

@@ -33,6 +33,16 @@ class MergeSpec extends SparkSpec {
     assert(got == Set((1L, "A", 11.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("an op outside {I,U,D} — including NULL — fails loudly, never a silent delete") {
+    val changes = Seq((2L, "b2", 20.0, null.asInstanceOf[String]))
+      .toDF("k", "s", "v", "op")
+    val ex = intercept[Exception] {
+      Merge.applyChanges(base, changes, "k").collect()
+    }
+    assert(ex.getMessage.contains("Merge") || ex.getMessage.contains("USER_RAISED_EXCEPTION"),
+      s"expected the contract error, got: ${ex.getMessage}")
+  }
+
   test("empty changeset is the identity") {
     val changes = Seq.empty[(Long, String, Double, String)].toDF("k", "s", "v", "op")
     val got = Merge.applyChanges(base, changes, "k").collect().toSet

@@ -27,7 +27,8 @@ class TextFormatsSpec extends SparkSpec {
     Row(3L, null, java.lang.Double.MIN_VALUE, null),
     Row(4L, "", java.lang.Double.MAX_VALUE, ts),
     Row(5L, "ünïcødé ☃ 中文", -1.23456789012345e-300, ts),
-    Row(6L, "\\N lookalike payload", null, ts)) // literal backslash-N INSIDE a longer string
+    Row(6L, "\\N lookalike payload", null, ts), // literal backslash-N INSIDE a longer string
+    Row(7L, "line one\nline two\r\nline three", 2.5, ts)) // embedded newlines (multiLine read)
 
   private def df = spark.createDataFrame(
     spark.sparkContext.parallelize(rows, 2), schema)
@@ -53,6 +54,20 @@ class TextFormatsSpec extends SparkSpec {
   test("JSONL round-trip is lossless") {
     val got = TextFormats.jsonlRoundTrip(spark, df, "spec_jsonl").collect()
     assert(canon(got) == canon(df.collect()))
+  }
+
+  test("sentinel collision is PINNED: string exactly \\N reads back NULL from CSV, survives JSONL") {
+    // the documented contract limit of the \N dump convention — this test
+    // exists so the behavior is a recorded decision, not a surprise
+    val schema1 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "\\N")), 1), schema1)
+    val csv = TextFormats.csvRoundTrip(spark, d, "spec_sentinel").collect()
+    assert(csv.head.isNullAt(1), "CSV: a literal \\N string is absorbed by the null sentinel")
+    val jsonl = TextFormats.jsonlRoundTrip(spark, d, "spec_sentinel").collect()
+    assert(jsonl.head.getString(1) == "\\N", "JSONL escapes natively — no sentinel collision")
   }
 
   test("FAILFAST read throws on a corrupt CSV row instead of nulling it") {

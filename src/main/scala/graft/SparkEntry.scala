@@ -188,6 +188,11 @@ object SparkEntry {
     "q_triangles_per_vertex" -> ((s, d) =>
       Triangles.perVertex(s, DocGraph.edges(s, d))),
 
+    // common-neighbor link prediction (non-adjacent pairs, cn >= 2, hub
+    // centers capped at deg 64) — exact integer counts + Jaccard ppm
+    "q_link_pred" -> ((s, d) =>
+      GraphOps.linkPrediction(DocGraph.edges(s, d), minCommon = 2, maxHubDegree = 64)),
+
     // full iterative runs, each with an EXACT oracle:
     //  - q_pagerank: 40 fixed supersteps (converged to ≲1e-7 L1 at these
     //    scales; the eps-driven variant is exercised by entry() + goldens) —
@@ -342,6 +347,20 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // PII detection + redaction over text with a deterministic injected
+    // contact suffix (the raw word-salad corpus contains no PII, so the
+    // suffix gives every row a nonzero signal); counts are exact ints and
+    // the redacted length pins the replace-all semantics cross-engine
+    "q_pii_redact" -> ((s, d) => {
+      val t2 = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000L).cast("string"), 4, "0"))
+      docs(s, d).select(col("doc_id"),
+        TextOps.emailCount(t2).as("n_emails"),
+        TextOps.phoneCount(t2).as("n_phones"),
+        length(TextOps.piiRedact(t2)).cast("long").as("red_len"))
+    }),
 
     // deterministic stratified sampling (reproducible, shuffle-free hash
     // predicate — the 100 TB replacement for RNG df.sample); exact oracle
@@ -876,6 +895,34 @@ object SparkEntry {
          |SELECT vid, count(*) AS triangles FROM (
          |  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
          |GROUP BY vid""".stripMargin,
+
+    "q_link_pred" ->
+      s"""$G,
+         |sdeg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY src),
+         |capped AS MATERIALIZED (
+         |  SELECT s.src AS z, s.dst AS n
+         |  FROM sym s JOIN sdeg dz ON dz.vid = s.src AND dz.deg <= 64),
+         |cand AS MATERIALIZED (
+         |  SELECT c1.n AS x, c2.n AS y, count(*) AS cn
+         |  FROM capped c1 JOIN capped c2 ON c1.z = c2.z AND c1.n < c2.n
+         |  GROUP BY c1.n, c2.n HAVING count(*) >= 2)
+         |SELECT c.x AS a, c.y AS b, CAST(c.cn AS BIGINT) AS cn,
+         |  CAST((c.cn*1000000) // (da.deg + db.deg - c.cn) AS BIGINT) AS jaccard_ppm
+         |FROM cand c
+         |JOIN sdeg da ON da.vid = c.x
+         |JOIN sdeg db ON db.vid = c.y
+         |WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = c.x AND u.b = c.y)""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${TextOps.emailCountSql("t2")} AS n_emails,
+         |  ${TextOps.phoneCountSql("t2")} AS n_phones,
+         |  CAST(length(${TextOps.piiRedactSql("t2")}) AS BIGINT) AS red_len
+         |FROM t""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

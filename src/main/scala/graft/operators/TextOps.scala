@@ -43,6 +43,34 @@ object TextOps {
   def tokenCountBpeishSql(t: String): String =
     s"CAST(len(regexp_extract_all($t, '$BpeishPattern')) AS BIGINT)"
 
+  /** PII detection/redaction patterns, ASCII-only classes for the same
+    * Java-regex == RE2 parity reason as [[BpeishPattern]] (no \\w, \\b, \\s).
+    * Email: RFC-loose local part, dotted domain, ≥2-letter TLD. Phone:
+    * +CC-AAA-NNNN international-lite. Both engines' greedy matching agrees
+    * here — RE2 reproduces leftmost-first (Perl) semantics for patterns
+    * without backreferences. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern: String = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern)).cast("long")
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern)).cast("long")
+
+  /** Redact emails then phones with fixed tags — the scrubbing pass every
+    * training-data pipeline runs before publishing text. Pure codegen'd
+    * string expressions; order (email first) is part of the contract. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Matching DuckDB SQL (same pattern constants; 'g' = replace-all, which
+    * is Spark's only mode). */
+  def emailCountSql(t: String): String =
+    s"CAST(len(regexp_extract_all($t, '$EmailPattern')) AS BIGINT)"
+  def phoneCountSql(t: String): String =
+    s"CAST(len(regexp_extract_all($t, '$PhonePattern')) AS BIGINT)"
+  def piiRedactSql(t: String): String =
+    s"regexp_replace(regexp_replace($t, '$EmailPattern', '<EMAIL>', 'g'), '$PhonePattern', '<PHONE>', 'g')"
+
   /** Quality features (integer-exact, oracle-friendly). */
   def alphaChars(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")

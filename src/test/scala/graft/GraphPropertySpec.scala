@@ -109,4 +109,21 @@ class GraphPropertySpec extends SparkSpec {
     assert(labels.size == 400)
     assert(labels.values.forall(_ == 0L), "every chain vertex labels to vertex 0")
   }
+
+  test("linkPrediction: square graph predicts exactly the two diagonals at Jaccard 1") {
+    // 1-2, 1-3, 4-2, 4-3: non-adjacent (1,4) share {2,3}, (2,3) share {1,4};
+    // every adjacent pair shares 0 neighbors. Jaccard = 2/(2+2-2) = 1.
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L)).toDF("src", "dst")
+    val got = GraphOps.linkPrediction(edges, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 4L, 2L, 1000000L), (2L, 3L, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: hub cap drops wedges whose CENTER exceeds the degree cap") {
+    // star: center 0 — the only wedge center — has degree 6 > cap 5
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction(star, minCommon = 1, maxHubDegree = 5).isEmpty)
+    // raising the cap admits the wedges: all 15 leaf pairs share neighbor 0
+    assert(GraphOps.linkPrediction(star, minCommon = 1, maxHubDegree = 6).count() == 15L)
+  }
 }

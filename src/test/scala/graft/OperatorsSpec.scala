@@ -22,6 +22,20 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (id, g, w) => assert(g == w, s"doc $id: got $g want $w") }
   }
 
+  test("piiRedact: emails and phones redacted with exact counts, non-PII untouched") {
+    val got = Seq(
+      (1L, "reach a.b+c%d@sub.x-y.co or +44-123-4567 today"),
+      (2L, "two mails u@a.io v@b.org one phone +1-555-0042"),
+      (3L, "no pii here, just an @ sign and 555-1234 without country code"))
+      .toDF("id", "text")
+      .select($"id", TextOps.emailCount($"text").as("e"),
+        TextOps.phoneCount($"text").as("p"), TextOps.piiRedact($"text").as("r"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, 1L, "reach <EMAIL> or <PHONE> today")))
+    assert(got(2L) == ((2L, 1L, "two mails <EMAIL> <EMAIL> one phone <PHONE>")))
+    assert(got(3L) == ((0L, 0L, "no pii here, just an @ sign and 555-1234 without country code")))
+  }
+
   test("tokenCount matches whitespace arithmetic") {
     val got = Seq((1L, "a b c"), (2L, "single"), (3L, ""))
       .toDF("id", "text").select($"id", TextOps.tokenCount($"text").as("n"))

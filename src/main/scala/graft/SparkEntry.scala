@@ -204,6 +204,11 @@ object SparkEntry {
     //    early-stopped 10-iteration run equals the oracle's exactly-10.
     "q_pagerank" -> ((s, d) => DocGraph.prIter(s, d, 40)),
     "q_cc" -> ((s, d) => ConnectedComponents.run(s, DocGraph.edges(s, d))),
+    // strongly connected components to convergence — scc_id = min vid of the
+    // SCC is algorithm-independent, so the oracle replays it from recursive
+    // reachability ground truth, not from the engine's iteration schedule
+    "q_scc" -> ((s, d) => StronglyConnectedComponents.run(s, DocGraph.edges(s, d),
+      verbose = sys.env.contains("GRAFT_SCC_VERBOSE"))),
     // alternating large-star/small-star (O(log n) rounds) — same fixpoint,
     // same oracle as q_cc
     "q_cc_alt" -> ((s, d) => ConnectedComponents.runAlternating(s, DocGraph.edges(s, d))),
@@ -895,6 +900,25 @@ object SparkEntry {
          |SELECT vid, count(*) AS triangles FROM (
          |  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
          |GROUP BY vid""".stripMargin,
+
+    // SCC ground truth: v's SCC = {v} ∪ {u : v→u ∧ u→v} over the transitive
+    // closure; scc_id = the set's minimum. UNION (not UNION ALL) keeps the
+    // recursive closure deduplicated per step.
+    "q_scc" ->
+      (DocGraph.edgesCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """,
+          |verts AS MATERIALIZED (SELECT DISTINCT vid FROM
+          |  (SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges)),
+          |reach AS (
+          |  SELECT src AS s, dst AS t FROM edges
+          |  UNION
+          |  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.t),
+          |mn AS MATERIALIZED (
+          |  SELECT r1.s AS u, min(r1.t) AS m
+          |  FROM reach r1 JOIN reach r2 ON r1.s = r2.t AND r1.t = r2.s
+          |  GROUP BY r1.s)
+          |SELECT v.vid, CAST(least(v.vid, coalesce(mn.m, v.vid)) AS BIGINT) AS scc_id
+          |FROM verts v LEFT JOIN mn ON mn.u = v.vid""".stripMargin),
 
     "q_link_pred" ->
       s"""$G,

@@ -110,6 +110,41 @@ class GraphPropertySpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L), "every chain vertex labels to vertex 0")
   }
 
+  /** brute-force SCC via Floyd–Warshall reachability — independent of the
+    * engine's trim/color/confirm decomposition. */
+  def refScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx   = verts.zipWithIndex.toMap
+    val n     = verts.size
+    val r     = Array.fill(n, n)(false)
+    edges.foreach { case (s, t) => if (s != t) r(idx(s))(idx(t)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (r(i)(k) && r(k)(j)) r(i)(j) = true
+    verts.map { v =>
+      val i = idx(v)
+      v -> verts.filter(u => u == v || (r(i)(idx(u)) && r(idx(u))(i))).min
+    }.toMap
+  }
+
+  test("SCC: hand bowtie — two cycles, a bridge, DAG tendrils, a self-loop") {
+    // 0→1, cycle {1,2,3}, bridge 3→5, cycle {5,6}, tendril 6→9, self-loop 7
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 5L),
+      (5L, 6L), (6L, 5L), (6L, 9L), (7L, 7L)).toDF("src", "dst")
+    val got = StronglyConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L, 7L -> 7L))
+  }
+
+  for (seed <- Seq(13, 29)) {
+    test(s"random directed graph seed=$seed: SCC matches Floyd–Warshall reference") {
+      val edges = randomGraph(seed, 30, 55) // sparse → nontrivial SCC structure
+      val got = StronglyConnectedComponents.run(spark, edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refScc(edges))
+    }
+  }
+
   test("linkPrediction: square graph predicts exactly the two diagonals at Jaccard 1") {
     // 1-2, 1-3, 4-2, 4-3: non-adjacent (1,4) share {2,3}, (2,3) share {1,4};
     // every adjacent pair shares 0 neighbors. Jaccard = 2/(2+2-2) = 1.

@@ -673,6 +673,20 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
     }),
 
+    // ORC source/sink proof over part — the third columnar at-rest format a
+    // lake migration meets (Hive-era tables); binary+typed so the round-trip
+    // is type-exact, and the oracle replays the aggregate over the parquet
+    // originals exactly like the text sources above
+    "q_orc_source" -> ((s, d) => {
+      val rt = graft.sources.TextFormats.orcRoundTrip(s,
+        s.read.parquet(s"$d/part.parquet"), "part_" + (d.hashCode & 0x7fffffff))
+      rt.groupBy("p_brand").agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("p_retailprice"))).as("price_cents"),
+        countDistinct(col("p_type")).as("n_types"),
+        max(col("p_size")).cast("long").as("max_size"))
+    }),
+
     // JSON path extraction over the events.props payload column —
     // `get_json_object` is a codegen'd built-in (no UDF); the corpus is
     // verified clean (`{"k": int}` everywhere) so the ANSI cast is safe, and
@@ -800,6 +814,45 @@ object SparkEntry {
           .otherwise(0L)).as("n_s_c_p"))
     }),
 
+    // weekly cohort retention — the product-analytics staple: cohort = week
+    // of the user's first signup (µs integer arithmetic, epoch anchored at
+    // 2024-01-01 UTC), activity attributed to integer week offsets since
+    // that signup. ONE shuffle on user_id serves both the first-signup
+    // aggregate and the join back (co-partitioned, AQE reuses the exchange);
+    // the final (cohort, offset) aggregate is tiny. `div` not `/` — Spark
+    // long division promotes to double (r5 gotcha).
+    "q_retention" -> ((s, d) => {
+      val wk = lit(7L * 86400L * 1000000L)
+      val ev = events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"))
+      val first = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("s0"))
+      ev.join(first, Seq("user_id"))
+        .filter(col("us") >= col("s0"))
+        .select(call_function("div", col("s0") - lit(1704067200000000L), wk).as("cohort_week"),
+          call_function("div", col("us") - col("s0"), wk).as("week_offset"),
+          col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // exact second-moment sketch per event type: the integer building blocks
+    // of mean/variance/covariance/correlation (n, Σx, Σx², Σy, Σy², Σxy for
+    // x = value in cents, y = hour-of-day) in ONE map-side-combining pass.
+    // The statistics themselves are O(groups) driver arithmetic; emitting
+    // the moments keeps the cross-engine compare exact where corr()'s float
+    // accumulation order could not be pinned. Overflow envelope: cents ≤
+    // 49 002 ⇒ Σx² ≤ 2.4e9·n — safe in a BIGINT to ~3.8e9 rows per group;
+    // beyond that, pre-split groups or widen to DECIMAL.
+    "q_corr_moments" -> ((s, d) => events(s, d)
+      .select(col("event_type"), cents(col("value")).as("c"),
+        hour(col("ts").cast("timestamp")).cast("long").as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sum_c"), sum(col("c") * col("c")).as("sum_c2"),
+        sum(col("h")).as("sum_h"), sum(col("h") * col("h")).as("sum_h2"),
+        sum(col("c") * col("h")).as("sum_ch"))),
+
     // deterministic hash-guided 3-step walks from every 10th vertex —
     // DeepWalk-style corpus generation with the RNG replaced by integer
     // arithmetic both engines replay exactly (see RandomWalk scaladoc)
@@ -829,6 +882,35 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "rn")
+    }),
+
+    // Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 use
+    // duplicate-n-gram FRACTIONS; these are their exact integer numerators/
+    // denominators, so any threshold is a downstream projection): per doc,
+    // token count, distinct tokens, the most-repeated token's count, and the
+    // same for consecutive bigrams. Both n-gram passes shuffle on
+    // (doc_id, gram) — doc_id in the key caps any hot token's skew at the
+    // document length — then reduce to one row per doc. Bigrams are built
+    // per-row with zip_with over offset slices (no self-join, no window).
+    "q_repetition" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val tokStats = t.select(col("doc_id"), explode(col("ts")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct_tok"), max(col("c")).as("top_tok"))
+      val bigrams = t.select(col("doc_id"), explode(
+        when(size(col("ts")) > 1,
+          zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))).as("w"))
+      val biStats = bigrams.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct_bi"), max(col("c")).as("top_bi"))
+      // single-token docs have no bigrams: 0 sentinels, not NULLs, for the hash
+      tokStats.join(biStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tok"), col("top_tok"),
+          coalesce(col("n_distinct_bi"), lit(0L)).as("n_distinct_bi"),
+          coalesce(col("top_bi"), lit(0L)).as("top_bi"))
     })
   )
 
@@ -1197,6 +1279,57 @@ object SparkEntry {
         |       max(l_shipdate) AS last_ship,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_orc_source" ->
+      """SELECT p_brand, count(*) AS n,
+        |       CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |       count(DISTINCT p_type) AS n_types,
+        |       CAST(max(p_size) AS BIGINT) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    // same µs integer arithmetic as the engine; // is DuckDB integer division
+    // (both operands non-negative here, so floor == trunc == Spark's div)
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |f AS MATERIALIZED (
+        |  SELECT user_id, min(us) AS s0 FROM ev WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT (f.s0 - 1704067200000000) // 604800000000 AS cohort_week,
+        |       (ev.us - f.s0) // 604800000000 AS week_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN f USING (user_id) WHERE ev.us >= f.s0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_corr_moments" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c,
+        |                   CAST(hour(ts) AS BIGINT) AS h FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(c*c) AS BIGINT) AS sum_c2,
+        |       CAST(sum(h) AS BIGINT) AS sum_h, CAST(sum(h*h) AS BIGINT) AS sum_h2,
+        |       CAST(sum(c*h) AS BIGINT) AS sum_ch
+        |FROM ev GROUP BY event_type""".stripMargin,
+
+    // range(1, len) is end-exclusive ⇒ bigram indices 1..len-1 (1-based list
+    // indexing), empty for single-token docs — same shape as the engine's
+    // guarded zip_with
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tc AS MATERIALIZED (
+        |  SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(ts) AS w FROM t)
+        |  GROUP BY doc_id, w),
+        |tok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |               count(*) AS n_distinct_tok, CAST(max(c) AS BIGINT) AS top_tok
+        |        FROM tc GROUP BY doc_id),
+        |bc AS MATERIALIZED (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS w
+        |    FROM t)
+        |  GROUP BY doc_id, w),
+        |bi AS (SELECT doc_id, count(*) AS n_distinct_bi, CAST(max(c) AS BIGINT) AS top_bi
+        |       FROM bc GROUP BY doc_id)
+        |SELECT t.doc_id, tok.n_tokens, tok.n_distinct_tok, tok.top_tok,
+        |       coalesce(bi.n_distinct_bi, 0) AS n_distinct_bi,
+        |       coalesce(bi.top_bi, 0) AS top_bi
+        |FROM t JOIN tok USING (doc_id) LEFT JOIN bi ON bi.doc_id = t.doc_id""".stripMargin,
 
     "q_json_props" ->
       """WITH ex AS (SELECT event_type,

@@ -63,4 +63,22 @@ object TextFormats {
     df.write.mode(SaveMode.Overwrite).options(common).json(path)
     spark.read.schema(df.schema).options(common).option("mode", "FAILFAST").json(path)
   }
+
+  /** Write `df` as ORC, read it back with `df`'s own schema.
+    *
+    * ORC is the third columnar interchange format a warehouse migration
+    * meets (Hive-era lakes are ORC-at-rest). Unlike the text paths above it
+    * is binary and typed, so the round-trip is type-exact by construction
+    * and needs no sentinel/format options; the value of the surface is that
+    * the scan keeps parquet's scale behaviors — predicate pushdown, column
+    * pruning, and splittable stripes — which the q_orc_source oracle plus
+    * the shared PlanSpec assertions exercise. Schema is still passed
+    * explicitly (same no-inference rule: ORC self-describes per file, but
+    * pinning the expected schema turns writer drift into a loud read error
+    * instead of a silent union-by-position). */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame, tag: String): DataFrame = {
+    val path = dir(spark, "orc", tag)
+    df.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(df.schema).orc(path)
+  }
 }

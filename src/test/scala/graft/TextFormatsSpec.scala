@@ -56,6 +56,20 @@ class TextFormatsSpec extends SparkSpec {
     assert(canon(got) == canon(df.collect()))
   }
 
+  test("ORC round-trip is lossless — binary+typed, no sentinel collision") {
+    val got = TextFormats.orcRoundTrip(spark, df, "spec_orc").collect()
+    assert(canon(got) == canon(df.collect()))
+    val byK = got.map(r => r.getLong(0) -> r).toMap
+    assert(byK(3L).isNullAt(1), "NULL string must stay NULL")
+    assert(byK(4L).getString(1) == "", "empty string must stay empty, not NULL")
+    // the CSV sentinel's contract limit does NOT apply to a typed format:
+    // a string exactly equal to \N survives an ORC round-trip
+    val collide = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "\\N", 1.0, ts)), 1), schema)
+    val back = TextFormats.orcRoundTrip(spark, collide, "spec_orc_sentinel").collect()
+    assert(back.head.getString(1) == "\\N", "literal \\N string survives ORC")
+  }
+
   test("sentinel collision is PINNED: string exactly \\N reads back NULL from CSV, survives JSONL") {
     // the documented contract limit of the \N dump convention — this test
     // exists so the behavior is a recorded decision, not a surprise

@@ -170,6 +170,28 @@ object SparkEntry {
     "q_hits_iter2" -> ((s, d) => DocGraph.hitsIter(s, d, 2)),
     // multi-source BFS distances from the vid%100 seed set (exact integers)
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
+
+    // landmark distance sketch (per-landmark BFS state, key (vid, seed)) —
+    // the closeness-centrality / distance-estimation embedding; exact hop
+    // integers within 4 supersteps (see DocGraph.landmarkIter)
+    "q_landmark4" -> ((s, d) => DocGraph.landmarkIter(s, d, 4)),
+
+    // Newman degree-assortativity building blocks (Newman 2002): per edge
+    // x = outdeg(src), y = indeg(dst); the exact integer moments m, Σx, Σy,
+    // Σxy, Σx², Σy² in one row — r itself is driver arithmetic. The degree
+    // tables are aggregates OF the edge table on the join keys, so the three
+    // shuffles co-partition and nothing is re-sorted.
+    "q_assortativity" -> ((s, d) => {
+      val e  = DocGraph.edges(s, d)
+      val od = e.groupBy("src").agg(count(lit(1)).as("x"))
+      val id = e.groupBy("dst").agg(count(lit(1)).as("y"))
+      e.join(od, Seq("src")).join(id, Seq("dst"))
+        .agg(count(lit(1)).as("m"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+    }),
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
     "q_lp_iter2" -> ((s, d) => DocGraph.lpIter(s, d, 2)),
     // K-core peel (3 fixed rounds toward the 3-core, exact integer degrees)
@@ -961,6 +983,19 @@ object SparkEntry {
     "q_ppr_iter3" -> DocGraph.pprIterSql(3),
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
+
+    "q_landmark4" -> DocGraph.landmarkIterSql(4),
+
+    "q_assortativity" ->
+      s"""$G,
+         |od AS MATERIALIZED (SELECT src, count(*) AS x FROM edges GROUP BY src),
+         |idg AS MATERIALIZED (SELECT dst, count(*) AS y FROM edges GROUP BY dst)
+         |SELECT count(*) AS m,
+         |       CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+         |       CAST(sum(x*y) AS BIGINT) AS sum_xy,
+         |       CAST(sum(x*x) AS BIGINT) AS sum_x2,
+         |       CAST(sum(y*y) AS BIGINT) AS sum_y2
+         |FROM edges e JOIN od USING (src) JOIN idg USING (dst)""".stripMargin,
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
     "q_lp_iter2" -> DocGraph.lpIterSql(2),
     "q_kcore3_iter3" -> DocGraph.kcoreIterSql(3, 3),

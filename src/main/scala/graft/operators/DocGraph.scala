@@ -397,6 +397,85 @@ object DocGraph {
   }
 
   /**
+   * Landmark distance sketch (Potamias, Bonchi, Castillo & Gionis, "Fast
+   * shortest path distance estimation in large networks", CIKM 2009): exact
+   * hop distances from every vertex TO a fixed landmark set within k
+   * supersteps — the embedding behind scalable closeness-centrality and
+   * point-to-point distance estimates (d(u,v) ≲ min over landmarks of
+   * d(u,l)+d(l,v)). Unlike [[bfsIter]] (min over the seed SET), the state
+   * here is PER-LANDMARK: key (vid, seed), so the shuffle distributes over
+   * both and a hub vertex's rows spread across |L| keys. State volume is
+   * O(|V|·|L|) worst case — the landmark-count knob is the scale envelope,
+   * stated here rather than discovered: |L| = |V|/97 keeps the sketch a
+   * constant factor of the vertex table. Same lazy-checkpoint chain as BFS
+   * (zero driver actions per superstep, ONE materializing action).
+   *
+   * Output per vertex (exact integers, −1/0 sentinels — no NULLs in the
+   * hash): n_lm = landmarks reached within k hops, sum_d = Σ distances to
+   * them (the closeness numerator), min_d = nearest-landmark distance.
+   * Landmarks are propagated along REVERSED edges so `d` is the forward
+   * distance vid→landmark.
+   */
+  def landmarkIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    landmarkIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def landmarkIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var dist = verts.filter(col("vid") % 97 === 0)
+      .select(col("vid"), col("vid").as("seed"), lit(0L).as("d"))
+      .localCheckpoint(false)
+    inter += dist
+    for (_ <- 1 to k) {
+      val msgs = e.join(pin(dist), e("src") === dist("vid"))
+        .select(e("dst").as("vid"), dist("seed"), (col("d") + 1L).as("d"))
+      dist = msgs.unionByName(dist.select(col("vid"), col("seed"), col("d")))
+        .groupBy("vid", "seed").agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+      inter += dist
+    }
+    val sk = dist.groupBy("vid").agg(count(lit(1)).as("n_lm"),
+      sum(col("d")).as("sum_d"), min(col("d")).as("min_d"))
+    val out = verts.join(sk, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("n_lm"), lit(0L)).as("n_lm"),
+        coalesce(col("sum_d"), lit(-1L)).as("sum_d"),
+        coalesce(col("min_d"), lit(-1L)).as("min_d"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly k landmark-sketch supersteps (see [[landmarkIter]]).
+    * Edges are reversed in the propagation join, mirroring the engine. */
+  def landmarkIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |l0 AS MATERIALIZED (SELECT vid, vid AS seed, CAST(0 AS BIGINT) AS d
+        |        FROM verts WHERE vid % 97 = 0)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |l$i AS MATERIALIZED (SELECT vid, seed, min(d) AS d FROM (
+        |          SELECT e.src AS vid, l${i - 1}.seed, l${i - 1}.d + 1 AS d
+        |          FROM edges e JOIN l${i - 1} ON e.dst = l${i - 1}.vid
+        |          UNION ALL SELECT vid, seed, d FROM l${i - 1}
+        |        ) GROUP BY vid, seed)""".stripMargin)
+    }
+    sb.append(s""",
+      |sk AS MATERIALIZED (SELECT vid, count(*) AS n_lm, CAST(sum(d) AS BIGINT) AS sum_d,
+      |        CAST(min(d) AS BIGINT) AS min_d FROM l$k GROUP BY vid)
+      |SELECT v.vid, coalesce(sk.n_lm, 0) AS n_lm, coalesce(sk.sum_d, -1) AS sum_d,
+      |       coalesce(sk.min_d, -1) AS min_d
+      |FROM verts v LEFT JOIN sk ON sk.vid = v.vid""".stripMargin)
+    sb.toString
+  }
+
+  /**
    * Exactly `rounds` peel rounds toward the K-core of the UNDIRECTED doc
    * graph: S₀ = V; Sᵢ₊₁ = { v ∈ Sᵢ : deg_{Sᵢ}(v) ≥ K }. After ≥ degeneracy
    * rounds this is the exact K-core; the fixed round count keeps an exact

@@ -145,6 +145,17 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("landmarkIter: chain distances TO the landmark, unreachable = sentinels") {
+    // 3→2→1→0→5; only vid 0 is a landmark (0 % 97 == 0). Forward distance
+    // vid→0 is the chain position; 5 cannot reach 0 (edges point away).
+    val edges = Seq((3L, 2L), (2L, 1L), (1L, 0L), (0L, 5L)).toDF("src", "dst")
+    val got = operators.DocGraph.landmarkIterEdges(spark, edges, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((1L, 0L, 0L)), 1L -> ((1L, 1L, 1L)), 2L -> ((1L, 2L, 2L)),
+      3L -> ((1L, 3L, 3L)), 5L -> ((0L, -1L, -1L))))
+  }
+
   test("linkPrediction: square graph predicts exactly the two diagonals at Jaccard 1") {
     // 1-2, 1-3, 4-2, 4-3: non-adjacent (1,4) share {2,3}, (2,3) share {1,4};
     // every adjacent pair shares 0 neighbors. Jaccard = 2/(2+2-2) = 1.

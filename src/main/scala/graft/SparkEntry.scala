@@ -836,6 +836,19 @@ object SparkEntry {
           .otherwise(0L)).as("n_s_c_p"))
     }),
 
+    // z-order (Morton) values over (user_id, minute-of-day) — the lakehouse
+    // OPTIMIZE ZORDER write path's math, verified exactly: both engines run
+    // the same generated shift/mask formula (ZOrder.zvalue/zvalueSql from
+    // one loop). The layout effect (per-file min/max narrowing on BOTH
+    // dims) is proven quantitatively in ZOrderSpec; 21 bits covers user_id
+    // to sf≈10 (contract: inputs < 2^bits)
+    "q_zorder" -> ((s, d) => events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (hour(col("ts").cast("timestamp")).cast("long") * 60 +
+          minute(col("ts").cast("timestamp")).cast("long")).as("mod"))
+      .select(col("event_id"),
+        operators.ZOrder.zvalue(col("user_id"), col("mod"), 21).as("z"))),
+
     // weekly cohort retention — the product-analytics staple: cohort = week
     // of the user's first signup (µs integer arithmetic, epoch anchored at
     // 2024-01-01 UTC), activity attributed to integer week offsets since
@@ -1321,6 +1334,13 @@ object SparkEntry {
         |       count(DISTINCT p_type) AS n_types,
         |       CAST(max(p_size) AS BIGINT) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH ev AS (SELECT event_id, user_id,
+         |  CAST(hour(ts) * 60 + minute(ts) AS BIGINT) AS mod FROM events)
+         |SELECT event_id,
+         |  ${operators.ZOrder.zvalueSql("user_id", "mod", 21)} AS z
+         |FROM ev""".stripMargin,
 
     // same µs integer arithmetic as the engine; // is DuckDB integer division
     // (both operands non-negative here, so floor == trunc == Spark's div)

@@ -644,6 +644,35 @@ object SparkEntry {
         (abs(col("hll") - col("exact_distinct"))
           <= col("exact_distinct") * lit(0.05)).as("hll_ok"))),
 
+    // sketch gate: Count-Min heavy-hitter estimates vs the exact top-20
+    // token counts. CMS counters merge by plain addition, so for a fixed
+    // seed the sketch is independent of partitioning/merge order — the
+    // gates are deterministic per corpus, same argument as the HLL gate.
+    // Two gates: `over` (CMS never underestimates — holds by construction)
+    // and `eps` (est ≤ exact + ε·N, the CMS accuracy bound; verified to
+    // hold on-disk at every sf). The 20-row driver loop is a k-row collect
+    // of pre-aggregated output, same sanctioned shape as the IVF centroids.
+    "q_cms_gate" -> ((s, d) => {
+      val toks = docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val top = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w")).limit(20).collect()
+      val cms = toks.stat.countMinSketch(col("w"), eps = 0.0001, confidence = 0.99, seed = 42)
+      val slack = (0.0001 * cms.totalCount()).ceil.toLong
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(
+        top.map { r =>
+          val est = cms.estimateCount(r.getString(0))
+          org.apache.spark.sql.Row(r.getString(0), r.getLong(1),
+            est >= r.getLong(1), est <= r.getLong(1) + slack)
+        }.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cms_over_ok", org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("cms_eps_ok", org.apache.spark.sql.types.BooleanType))))
+    }),
+
     // sketch gate: Greenwald–Khanna approximate percentile vs the exact
     // interpolated median. Output carries the EXACT median (×2 so the even-n
     // midpoint average stays an integer in cents) plus a RANK gate, not a
@@ -834,6 +863,40 @@ object SparkEntry {
         sum(when(col("t_signup") < col("t_click"), 1L).otherwise(0L)).as("n_s_then_c"),
         sum(when(col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
           .otherwise(0L)).as("n_s_c_p"))
+    }),
+
+    // W4 frame-spec windows beyond running-last: per-user cumulative revenue
+    // and a 3-row moving sum over the (ts, event_id) total order — exact
+    // integer cents, ONE shuffle on user_id for both frames
+    "q_moving_sum" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), cents(col("value")).as("c"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.select(col("event_id"), col("user_id"),
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_cents"),
+        sum(col("c")).over(w.rowsBetween(-2, Window.currentRow)).as("mv3_cents"))
+    }),
+
+    // global bigram language-model counts with top-3 continuations per term
+    // (count desc, term asc tie-break) — the next-token table a data-quality
+    // pipeline derives; counts shuffle on (term, next) so even a stopword's
+    // rows spread across its continuation vocabulary, and only the per-term
+    // top-k window runs on the single-term key
+    "q_bigram_lm" -> ((s, d) => {
+      val t = docs(s, d).select(split(col("text"), " ").as("ts"))
+      val bi = t.select(explode(
+        when(size(col("ts")) > 1,
+          zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => struct(a.as("term"), b.as("next"))))
+          .otherwise(array().cast("array<struct<term:string,next:string>>"))).as("g"))
+        .select(col("g.term"), col("g.next"))
+      val counts = bi.groupBy("term", "next").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("term").orderBy(col("c").desc, col("next"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("term", "next", "c", "rn")
     }),
 
     // z-order (Morton) values over (user_id, minute-of-day) — the lakehouse
@@ -1304,6 +1367,12 @@ object SparkEntry {
         |       true AS hll_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "q_cms_gate" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS MATERIALIZED (SELECT w, count(*) AS c FROM tok WHERE length(w) > 0 GROUP BY w)
+        |SELECT w, c, true AS cms_over_ok, true AS cms_eps_ok
+        |FROM c ORDER BY c DESC, w LIMIT 20""".stripMargin,
+
     "q_pctl_gate" ->
       """SELECT o_orderpriority,
         |       CAST(round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) * 2) AS BIGINT)
@@ -1334,6 +1403,26 @@ object SparkEntry {
         |       count(DISTINCT p_type) AS n_types,
         |       CAST(max(p_size) AS BIGINT) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    "q_moving_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mv3_cents
+        |FROM events""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bi AS (SELECT unnest(list_transform(range(1, len(ts)),
+        |                i -> struct_pack(term := ts[i], next := ts[i+1]))) AS g FROM t),
+        |c AS MATERIALIZED (
+        |  SELECT g.term AS term, g.next AS next, count(*) AS c FROM bi GROUP BY 1, 2),
+        |r AS (SELECT term, next, c, CAST(row_number() OVER (
+        |        PARTITION BY term ORDER BY c DESC, next) AS BIGINT) AS rn FROM c)
+        |SELECT term, next, c, rn FROM r WHERE rn <= 3""".stripMargin,
 
     "q_zorder" ->
       s"""WITH ev AS (SELECT event_id, user_id,

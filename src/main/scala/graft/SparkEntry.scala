@@ -865,6 +865,25 @@ object SparkEntry {
           .otherwise(0L)).as("n_s_c_p"))
     }),
 
+    // declarative data-quality audit (the pre-publish expectations gate):
+    // all row predicates + uniqueness fold into ONE aggregate scan per
+    // table, each FK is one anti-join — see operators/DataQuality. The
+    // corpus is clean (all zeros); DataQualitySpec proves nonzero counts on
+    // a planted-violation fixture so "all zeros" is a finding, not a bug.
+    "q_dq_checks" -> ((s, d) => {
+      import operators.DataQuality._
+      val o = orders(s, d)
+      audit(o, Seq(
+        RowCheck("orders_key_not_null", col("o_orderkey").isNull),
+        UniqueCheck("orders_key_unique", Seq("o_orderkey")),
+        RowCheck("orders_price_positive", col("o_totalprice") <= 0),
+        RowCheck("orders_custkey_not_null", col("o_custkey").isNull)))
+        .unionByName(audit(li(s, d), Seq(
+          RowCheck("li_qty_range", !col("l_quantity").between(1, 50)),
+          RowCheck("li_discount_range", !col("l_discount").between(0, 0.11)),
+          FkCheck("li_fk_orders", "l_orderkey", o, "o_orderkey"))))
+    }),
+
     // W4 frame-spec windows beyond running-last: per-user cumulative revenue
     // and a 3-row moving sum over the (ts, event_id) total order — exact
     // integer cents, ONE shuffle on user_id for both frames
@@ -1403,6 +1422,24 @@ object SparkEntry {
         |       count(DISTINCT p_type) AS n_types,
         |       CAST(max(p_size) AS BIGINT) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
+
+    // NULL predicate results count as violations on both sides (coalesce
+    // true) — the engine's RowCheck contract
+    "q_dq_checks" ->
+      """SELECT 'orders_key_not_null' AS check_name,
+        |       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders
+        |UNION ALL SELECT 'orders_key_unique',
+        |       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_price_positive',
+        |       CAST(sum(CASE WHEN coalesce(o_totalprice <= 0, true) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders_custkey_not_null',
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'li_qty_range',
+        |       CAST(sum(CASE WHEN coalesce(NOT (l_quantity BETWEEN 1 AND 50), true) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'li_discount_range',
+        |       CAST(sum(CASE WHEN coalesce(NOT (l_discount BETWEEN 0 AND 0.11), true) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'li_fk_orders',
+        |       CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""".stripMargin,
 
     "q_moving_sum" ->
       """SELECT event_id, user_id,

@@ -846,6 +846,28 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_key"))
     }),
 
+    // incremental aggregate maintenance: the SAME changeset as
+    // q_merge_orders, but the aggregate is produced by delta-maintaining
+    // the pre-change state (nothing proportional to |base| except the
+    // changed-key point lookup) — the oracle recomputes it from the merged
+    // table, so parity proves the delta rule, not just the arithmetic
+    "q_incr_agg" -> ((s, d) => {
+      val base = orders(s, d)
+      val del = base.filter(col("o_orderkey") % 97 === 0).withColumn("op", lit("D"))
+      val upd = base.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val ins = base.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("op", lit("I"))
+      val state = operators.IncrementalAgg.aggregate(
+        base, "o_orderstatus", cents(col("o_totalprice")))
+      operators.IncrementalAgg.maintain(
+        state, base, del.unionByName(upd).unionByName(ins),
+        "o_orderkey", "o_orderstatus", cents(col("o_totalprice")))
+        .select(col("o_orderstatus"), col("n"), col("s").as("rev_cents"))
+    }),
+
     // funnel analysis: users who completed signup → click → purchase in
     // strict timestamp order — conditional min-per-type aggregation (one
     // shuffle on user_id; the sequence test is a pure projection after it)
@@ -1588,6 +1610,24 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents,
         |  max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    // recompute-from-merged ground truth for the delta-maintained aggregate
+    "q_incr_agg" ->
+      """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (SELECT * REPLACE (o_totalprice + 100 AS o_totalprice)
+        |        FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey % 97 <> 0),
+        |ins AS (SELECT * REPLACE (o_orderkey + 100000000 AS o_orderkey)
+        |        FROM orders WHERE o_orderkey % 89 = 0),
+        |chkeys AS (SELECT o_orderkey FROM del
+        |  UNION ALL SELECT o_orderkey FROM upd
+        |  UNION ALL SELECT o_orderkey FROM ins),
+        |merged AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chkeys)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
     "q_funnel" ->

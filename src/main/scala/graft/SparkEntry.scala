@@ -192,6 +192,19 @@ object SparkEntry {
           sum(col("x") * col("x")).as("sum_x2"),
           sum(col("y") * col("y")).as("sum_y2"))
     }),
+    // supergraph contraction: collapse the doc graph to its `source`
+    // communities — (src_comm, dst_comm, n_links) including the diagonal
+    "q_source_graph" -> ((s, d) =>
+      operators.Communities.contract(DocGraph.edges(s, d),
+        docs(s, d).select(col("doc_id").as("vid"), col("source").as("comm")))),
+
+    // exact Newman modularity of the source partition, integer-scaled
+    // (Q·4m² per community — see Communities.modularity; Q is driver
+    // arithmetic like assortativity's r)
+    "q_source_modularity" -> ((s, d) =>
+      operators.Communities.modularity(s, DocGraph.edges(s, d),
+        docs(s, d).select(col("doc_id").as("vid"), col("source").as("comm")))),
+
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
     "q_lp_iter2" -> ((s, d) => DocGraph.lpIter(s, d, 2)),
     // K-core peel (3 fixed rounds toward the 3-core, exact integer degrees)
@@ -1113,6 +1126,30 @@ object SparkEntry {
          |       CAST(sum(x*x) AS BIGINT) AS sum_x2,
          |       CAST(sum(y*y) AS BIGINT) AS sum_y2
          |FROM edges e JOIN od USING (src) JOIN idg USING (dst)""".stripMargin,
+    "q_source_graph" ->
+      s"""$G
+         |SELECT s1.source AS src_comm, s2.source AS dst_comm, count(*) AS n_links
+         |FROM edges e
+         |JOIN documents s1 ON e.src = s1.doc_id
+         |JOIN documents s2 ON e.dst = s2.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_source_modularity" ->
+      s"""$G,
+         |mem AS (SELECT doc_id AS vid, source AS comm FROM documents),
+         |deg AS MATERIALIZED (SELECT vid, count(*) AS deg FROM
+         |  (SELECT a AS vid FROM und UNION ALL SELECT b AS vid FROM und) GROUP BY vid),
+         |mm AS (SELECT count(*) AS m FROM und),
+         |dc AS (SELECT mem.comm, CAST(sum(deg) AS BIGINT) AS d_c
+         |       FROM deg JOIN mem USING (vid) GROUP BY mem.comm),
+         |ec AS (SELECT ma.comm AS comm, count(*) AS e_c
+         |       FROM und JOIN mem ma ON und.a = ma.vid JOIN mem mb ON und.b = mb.vid
+         |       WHERE ma.comm = mb.comm GROUP BY 1)
+         |SELECT dc.comm, CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c, dc.d_c,
+         |  CAST(4*(SELECT m FROM mm)*coalesce(ec.e_c, 0) - dc.d_c*dc.d_c AS BIGINT)
+         |    AS q_scaled_4m2
+         |FROM dc LEFT JOIN ec USING (comm)""".stripMargin,
+
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
     "q_lp_iter2" -> DocGraph.lpIterSql(2),
     "q_kcore3_iter3" -> DocGraph.kcoreIterSql(3, 3),

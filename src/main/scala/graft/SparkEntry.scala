@@ -881,6 +881,38 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("n"), col("s").as("rev_cents"))
     }),
 
+    // Pareto frontier per order priority, maximizing (price, date): the
+    // one-sort RANGE-frame skyline (see Skyline.frontier2D) — x must be
+    // integral for the +1 strictness offset, so price goes through cents
+    "q_pareto_orders" -> ((s, d) =>
+      operators.Skyline.frontier2D(
+        orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"), col("o_orderdate")),
+        "o_orderpriority", "price_cents", "o_orderdate")),
+
+    // exact k·σ outlier gate per order status at k = 3/2: |x−μ| > kσ
+    // rewritten as the all-integer inequality 4·(x·n − s)² > 9·(n·ssq − s²)
+    // — no float μ/σ, so the flagged row set is bit-identical cross-engine.
+    // (k = 2 flags NOTHING on bounded TPC-H prices — measured 0 rows at both
+    // sf0.001 and sf0.01 — so the 3/2 gate keeps the parity non-vacuous:
+    // 195 / 1 989 rows.) Magnitudes reach ~4e25 at sf0.1, past BIGINT:
+    // Spark computes in decimal(38,0), the oracle in HUGEINT, both exact.
+    "q_outliers_2sigma" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("x"))
+      val st = o.groupBy("o_orderstatus").agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      val xd = col("x").cast(dec)
+      o.join(st, Seq("o_orderstatus"))
+        .filter(lit(4).cast(dec) *
+            ((xd * col("n") - col("sx")) * (xd * col("n") - col("sx"))) >
+          lit(9).cast(dec) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("x").as("price_cents"))
+    }),
+
     // funnel analysis: users who completed signup → click → purchase in
     // strict timestamp order — conditional min-per-type aggregation (one
     // shuffle on user_id; the sequence test is a pure projection after it)
@@ -1666,6 +1698,31 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    // same one-sort skyline formulation — parity proves the dominance
+    // semantics land identically on both engines' RANGE frames
+    "q_pareto_orders" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, o_orderdate FROM orders),
+        |w AS (SELECT *,
+        |  max(o_orderdate) OVER (PARTITION BY o_orderpriority ORDER BY price_cents
+        |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS hi,
+        |  max(o_orderdate) OVER (PARTITION BY o_orderpriority ORDER BY price_cents
+        |    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS eq
+        |  FROM o)
+        |SELECT o_orderpriority, o_orderkey, price_cents, o_orderdate FROM w
+        |WHERE NOT (coalesce(hi >= o_orderdate, false) OR eq > o_orderdate)""".stripMargin,
+
+    "q_outliers_2sigma" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS x FROM orders),
+        |st AS (SELECT o_orderstatus, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, sum(CAST(x AS HUGEINT)*x) AS sxx
+        |  FROM o GROUP BY 1)
+        |SELECT o.o_orderkey, o.o_orderstatus, o.x AS price_cents
+        |FROM o JOIN st USING (o_orderstatus)
+        |WHERE 4*(CAST(o.x AS HUGEINT)*n - sx)*(CAST(o.x AS HUGEINT)*n - sx)
+        |      > 9*(n*sxx - sx*sx)""".stripMargin,
 
     "q_funnel" ->
       """WITH pu AS (SELECT user_id,

@@ -171,6 +171,32 @@ object SparkEntry {
     // multi-source BFS distances from the vid%100 seed set (exact integers)
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
 
+    // exact ≤2-hop out-ball size per vertex — the neighborhood function
+    // N(2) behind effective-diameter measurements; exact form is the
+    // verification path, HyperBall (gated below) is the scale path
+    "q_nhop2" -> ((s, d) => {
+      val e = DocGraph.edges(s, d)
+      operators.Neighborhood.exactBall(GraphOps.vertices(e), e, 2)
+    }),
+
+    // HyperBall vs exact gate: mean relative error of the m=64-register
+    // HLL ball estimate over all vertices. Hash-deterministic registers +
+    // idempotent unions ⇒ the error is a fixed number per corpus (measured
+    // ≈2% at sf0.001/sf0.01 — ≤2-hop balls sit in the linear-counting
+    // regime); the 10% gate has 5× margin so FP summation order can't flip
+    // it. Exact anchors (n_vertices, sum_ball) keep the row non-vacuous.
+    "q_nhop2_hb_gate" -> ((s, d) => {
+      val e = DocGraph.edges(s, d)
+      val v = GraphOps.vertices(e)
+      val exact = operators.Neighborhood.exactBall(v, e, 2)
+      val est = operators.Neighborhood.hyperBall(v, e, 2)
+      exact.join(est, "vid").agg(
+        count(lit(1)).as("n_vertices"),
+        sum(col("ball")).as("sum_ball"),
+        ((sum(abs(col("est") - col("ball")) / col("ball")) / count(lit(1)))
+          < lit(0.10)).as("err_ok"))
+    }),
+
     // landmark distance sketch (per-landmark BFS state, key (vid, seed)) —
     // the closeness-centrality / distance-estimation embedding; exact hop
     // integers within 4 supersteps (see DocGraph.landmarkIter)
@@ -435,6 +461,28 @@ object SparkEntry {
       val w = Window.partitionBy("lang").orderBy(desc("n"), col("term"))
       counts.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
+    }),
+
+    // WebGraph-style term dictionary: every distinct token → dense 0-based
+    // id in lexicographic order, assigned by the range-partitioned
+    // globalRank (never a single-partition window — see Dictionary scaladoc)
+    "q_term_dict" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      operators.Dictionary.build(toks, "term", parts)
+    }),
+
+    // corpus re-encoded over the dictionary, pinned by per-doc integer
+    // checksums of the assigned ids (count/sum/min/max — exact both engines)
+    "q_dict_encode" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val dict = operators.Dictionary.build(toks, "term", parts)
+      operators.Dictionary.encodeSummary(toks, "doc_id", "term", dict)
     }),
 
     "q_simhash" -> ((s, d) => docs(s, d)
@@ -1146,6 +1194,28 @@ object SparkEntry {
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
 
+    // ≤2-hop reach set via two dedup'd expansion rounds (UNION dedups);
+    // verts with no out-edges still have ball 1 (the self pair)
+    "q_nhop2" -> (DocGraph.graphCtes +
+      """,
+        |r1 AS MATERIALIZED (SELECT vid AS src, vid AS dst FROM verts
+        |  UNION SELECT src, dst FROM edges),
+        |r2 AS MATERIALIZED (SELECT r1.src, e.dst FROM r1 JOIN edges e ON r1.dst = e.src
+        |  UNION SELECT src, dst FROM r1)
+        |SELECT src AS vid, CAST(count(*) AS BIGINT) AS ball FROM r2 GROUP BY 1""".stripMargin),
+
+    // the oracle recomputes the exact anchors and pins the gate at its
+    // provable value (same convention as q_hll_gate / q_cms_gate)
+    "q_nhop2_hb_gate" -> (DocGraph.graphCtes +
+      """,
+        |r1 AS MATERIALIZED (SELECT vid AS src, vid AS dst FROM verts
+        |  UNION SELECT src, dst FROM edges),
+        |r2 AS MATERIALIZED (SELECT r1.src, e.dst FROM r1 JOIN edges e ON r1.dst = e.src
+        |  UNION SELECT src, dst FROM r1),
+        |b AS (SELECT src, count(*) AS ball FROM r2 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |       CAST(sum(ball) AS BIGINT) AS sum_ball, TRUE AS err_ok FROM b""".stripMargin),
+
     "q_landmark4" -> DocGraph.landmarkIterSql(4),
 
     "q_assortativity" ->
@@ -1372,6 +1442,23 @@ object SparkEntry {
         |  SELECT lang, term, n,
         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
         |  FROM c) WHERE rn <= 5""".stripMargin,
+
+    // dense lexicographic ids == row_number over the sorted distinct terms;
+    // binary-collation order is identical for this corpus in both engines
+    "q_term_dict" ->
+      """WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS id
+        |FROM t WHERE length(term) > 0""".stripMargin,
+
+    "q_dict_encode" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+        |d AS (SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS id
+        |      FROM (SELECT DISTINCT term FROM tk))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(id) AS BIGINT) AS sum_id,
+        |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+        |FROM tk JOIN d USING (term) GROUP BY doc_id""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,

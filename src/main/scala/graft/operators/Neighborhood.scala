@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HllExprs
+
+/**
+ * Neighborhood function over a directed link graph: the size of every
+ * vertex's out-ball B_k(v) = {w : dist(v,w) ≤ k}. Summed over vertices this
+ * is the graph's neighborhood function N(k) — the curve behind "effective
+ * diameter", the classic whole-web measurement (Broder et al. WWW 2000;
+ * Boldi & Vigna 2013).
+ *
+ * Two implementations with one contract:
+ *
+ *  - `exactBall`: the ≤k reachable PAIR set via k rounds of
+ *    reach ⋈ edges ∪ reach, deduplicated each round. Exact, oracled — and
+ *    intrinsically Θ(Σ|B_k(v)|) rows, which on a web graph explodes within
+ *    a few hops (that blowup is WHY HyperBall exists). The exact form is
+ *    the small-k / verification path.
+ *
+ *  - `hyperBall`: per-vertex m-byte HLL counters, one superstep =
+ *    counters flow backwards along edges + elementwise-max union
+ *    (`BytesMaxAgg`, a real partial-aggregating Catalyst aggregate). Per
+ *    superstep the shuffle is |E| rows × (8 + m) bytes REGARDLESS of ball
+ *    sizes — map-side combine pre-unions per partition, so the reduce side
+ *    sees at most (#map partitions × |V|) counters. This is the 100 TB
+ *    path: constant per-edge cost per superstep, no pair materialization.
+ *
+ * Both iterate with the house lazy-checkpoint chain (plan truncated per
+ * round, ONE materializing action at the consumer — bfsIter's discipline).
+ */
+object Neighborhood {
+
+  /** (vid, ball) — exact |B_k(vid)| including the vertex itself.
+    * `verts` is the vertex universe (vid), `edges` the directed (src, dst). */
+  def exactBall(verts: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 0 && k <= 4, s"exact ball materializes Σ|B_k| pairs — k=$k refused")
+    // fresh projection per round with disjoint names — a reach⋈edges
+    // self-join over shared column names is the AMBIGUOUS_REFERENCE trap
+    // (same discipline as RandomWalk's per-step edge renames)
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    var reach = verts.select(col("vid").as("src"), col("vid").as("dst"))
+    for (_ <- 1 to k) {
+      val step = reach.join(e, col("dst") === col("e_src"))
+        .select(col("src"), col("e_dst").as("dst"))
+      reach = reach.union(step).distinct().localCheckpoint(false)
+    }
+    reach.groupBy(col("src").as("vid")).agg(count(lit(1)).as("ball"))
+  }
+
+  /** (vid, est) — HyperBall estimate of |B_k(vid)| as a double. */
+  def hyperBall(verts: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    var b = verts.select(col("vid"), HllExprs.hllInit(col("vid")).as("reg"))
+      .localCheckpoint(false)
+    for (_ <- 1 to k) {
+      val in = e.join(b, col("e_dst") === col("vid"))
+        .select(col("e_src").as("vid"), col("reg"))
+      b = in.unionByName(b)
+        .groupBy("vid").agg(HllExprs.hllUnionAgg(col("reg")).as("reg"))
+        .localCheckpoint(false)
+    }
+    b.select(col("vid"), HllExprs.hllEstimate(col("reg")).as("est"))
+  }
+}

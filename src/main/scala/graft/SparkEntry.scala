@@ -171,6 +171,11 @@ object SparkEntry {
     // multi-source BFS distances from the vid%100 seed set (exact integers)
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
 
+    // 3-truss peel, 2 rounds: drop edges in no triangle, then re-check on
+    // the shrunken graph (cascading deletions — the edge-level core test)
+    "q_truss3_iter2" -> ((s, d) =>
+      Truss.peel(DocGraph.edges(s, d), k = 3, rounds = 2)),
+
     // exact ≤2-hop out-ball size per vertex — the neighborhood function
     // N(2) behind effective-diameter measurements; exact form is the
     // verification path, HyperBall (gated below) is the scale path
@@ -1193,6 +1198,8 @@ object SparkEntry {
     "q_ppr_iter3" -> DocGraph.pprIterSql(3),
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
+
+    "q_truss3_iter2" -> Truss.peelSql(DocGraph.graphCtes, k = 3, rounds = 2),
 
     // ≤2-hop reach set via two dedup'd expansion rounds (UNION dedups);
     // verts with no out-edges still have ball 1 (the self pair)

@@ -522,6 +522,33 @@ object SparkEntry {
             col("sza") + col("szb") - col("inter")).as("jaccard_ppm"))
     }),
 
+    // near-dup cluster election — the step after pair finding in a real
+    // dedup pipeline: exact-Jaccard pairs ≥ 0.8% form an undirected
+    // similarity graph (transitive chains ARE present: clusters reach size
+    // 5+ at this threshold), connected components elect min-doc_id as the
+    // cluster representative, singletons represent themselves. Composes
+    // Dedup.jaccardCounts with ConnectedComponents.run — the same CC engine
+    // the link graph uses, over a derived edge set.
+    "q_dup_clusters" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val cand = dd.select(col("doc_id").as("a"))
+        .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select(col("a"), (col("a") + col("k")).as("b"))
+        .join(dd.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      val pairs = Dedup.jaccardCounts(dd, cand, "doc_id", "text")
+        .select(col("a"), col("b"),
+          call_function("div", col("inter") * lit(1000000L),
+            col("sza") + col("szb") - col("inter")).as("ppm"))
+        .filter(col("ppm") >= 8000L)
+      val cc = ConnectedComponents.run(s,
+        pairs.select(col("a").as("src"), col("b").as("dst")))
+      docs(s, d).select(col("doc_id"))
+        .join(cc.withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteTopK(e.filter(col("vec_id") < 50), e, "vec_id", "embedding", 5)
@@ -1509,6 +1536,40 @@ object SparkEntry {
         |LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
         |JOIN sz za ON za.doc_id = c.a
         |JOIN sz zb ON zb.doc_id = c.b""".stripMargin,
+
+    // cluster_id = min doc_id reachable in the undirected similarity graph
+    // (recursive closure ground truth — algorithm-independent, same
+    // convention as q_scc); unmatched docs are their own cluster
+    "q_dup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |         FROM documents a
+        |         JOIN (SELECT unnest([1,2,3]) AS k) ks ON true
+        |         JOIN documents b ON b.doc_id = a.doc_id + ks.k),
+        |ix AS (SELECT c.a, c.b, count(*) AS n FROM cand c
+        |       JOIN sh sa ON sa.doc_id = c.a
+        |       JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+        |       GROUP BY c.a, c.b),
+        |pairs AS MATERIALIZED (
+        |  SELECT c.a, c.b FROM cand c
+        |  LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
+        |  JOIN sz za ON za.doc_id = c.a
+        |  JOIN sz zb ON zb.doc_id = c.b
+        |  WHERE (coalesce(ix.n,0)*1000000) // (za.n + zb.n - coalesce(ix.n,0)) >= 8000),
+        |se AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (SELECT s, t FROM se
+        |          UNION SELECT r.s, e.t FROM reach r JOIN se e ON e.s = r.t),
+        |mn AS MATERIALIZED (SELECT s, min(t) AS m FROM reach GROUP BY s)
+        |SELECT d.doc_id,
+        |       CAST(least(d.doc_id, coalesce(mn.m, d.doc_id)) AS BIGINT) AS cluster_id,
+        |       d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS is_rep
+        |FROM documents d LEFT JOIN mn ON mn.s = d.doc_id""".stripMargin,
 
     // recall gates: the oracle is the FULL planted-twin list — any pair the
     // probabilistic path misses (or misranks, for the ANN gate) is a row

@@ -961,6 +961,23 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("n"), col("s").as("rev_cents"))
     }),
 
+    // year-over-year customer revenue matrix via FULL OUTER join of two
+    // pre-aggregated years — unmatched rows genuinely occur on BOTH sides
+    // (1995-only and 1996-only customers). Both inputs are aggregates keyed
+    // on the join column, so the join is co-partitioned: one shuffle per
+    // side, never a re-shuffle of raw orders. −1 sentinels keep the hash
+    // integer-clean (NULL ints break the pandas compare).
+    "q_yoy_fullouter" -> ((s, d) => {
+      def yr(y: Int) = orders(s, d)
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as(s"rev$y"))
+      yr(1995).join(yr(1996), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("rev1995"), lit(-1L)).as("rev1995_cents"),
+          coalesce(col("rev1996"), lit(-1L)).as("rev1996_cents"))
+    }),
+
     // Pareto frontier per order priority, maximizing (price, date): the
     // one-sort RANGE-frame skyline (see Skyline.frontier2D) — x must be
     // integral for the +1 strictness offset, so price goes through cents
@@ -1853,6 +1870,16 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    "q_yoy_fullouter" ->
+      """WITH y95 AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+        |            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |y96 AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r
+        |        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT coalesce(y95.o_custkey, y96.o_custkey) AS o_custkey,
+        |       coalesce(y95.r, -1) AS rev1995_cents,
+        |       coalesce(y96.r, -1) AS rev1996_cents
+        |FROM y95 FULL JOIN y96 ON y95.o_custkey = y96.o_custkey""".stripMargin,
 
     // same one-sort skyline formulation — parity proves the dominance
     // semantics land identically on both engines' RANGE frames

@@ -110,6 +110,33 @@ class JobCountSpec extends SparkSpec {
     assert(j4 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j4=$j4")
   }
 
+  /** Like noAqe but with broadcast joins also pinned off — for operators
+    * that take no joinStrategy knob (each BroadcastExchange would submit its
+    * own async collect job and poison the count). */
+  private lazy val noAqeNoBc: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s
+  }
+
+  test("k-truss peel: zero extra jobs per round (lazy chain, one materializing action)") {
+    import noAqeNoBc.implicits._
+    val g = ((for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L))).toDF("src", "dst")
+    val j1 = jobsDuring { Truss.peel(g, 3, 1).count() }
+    val j3 = jobsDuring { Truss.peel(g, 3, 3).count() }
+    assert(j3 - j1 == 0, s"expected a round-independent job count, got j1=$j1 j3=$j3")
+  }
+
+  test("HyperBall: zero extra jobs per superstep (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqeNoBc)
+    val v = GraphOps.vertices(e)
+    val j1 = jobsDuring { operators.Neighborhood.hyperBall(v, e, 1).count() }
+    val j3 = jobsDuring { operators.Neighborhood.hyperBall(v, e, 3).count() }
+    assert(j3 - j1 == 0, s"expected a superstep-independent job count, got j1=$j1 j3=$j3")
+  }
+
   test("alternating CC: one job per contraction round plus fixed setup") {
     val e = pathEdges(noAqe)
     var rounds = -1

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Skyline
 
 /**
- * The one-sort RANGE-frame skyline must equal the quadratic dominance
+ * The two-pass distinct-x skyline must equal the quadratic dominance
  * definition exactly — verified by brute force on a hashed fixture dense
  * enough to contain x-ties, y-ties and full (x,y) duplicates.
  */

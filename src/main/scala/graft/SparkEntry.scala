@@ -170,6 +170,8 @@ object SparkEntry {
     "q_hits_iter2" -> ((s, d) => DocGraph.hitsIter(s, d, 2)),
     // multi-source BFS distances from the vid%100 seed set (exact integers)
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
+    // 3 derandomized Luby MIS rounds: 1 = in MIS, 2 = dominated, 0 = active
+    "q_mis_iter3" -> ((s, d) => DocGraph.misIter(s, d, 3)),
 
     // 3-truss peel, 2 rounds: drop edges in no triangle, then re-check on
     // the shrunken graph (cascading deletions — the edge-level core test)
@@ -466,6 +468,29 @@ object SparkEntry {
       val w = Window.partitionBy("lang").orderBy(desc("n"), col("term"))
       counts.withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
+    }),
+
+    // Term co-occurrence (the count table behind PMI / word-vector prep):
+    // bipartite doc→term projection onto term-term pairs. The quadratic
+    // per-doc pair blowup is bounded BY CONSTRUCTION: only the 12
+    // lexicographically-smallest distinct terms of each doc pair up (a
+    // deterministic cap both engines compute identically), so fan-out is
+    // ≤ C(12,2) = 66 pairs/doc no matter how long the document — the cap,
+    // not the doc length, is the 100 TB envelope. Pairs are (a < b)
+    // canonicalized; singleton pairs dropped.
+    "q_term_cooccur" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0).distinct()
+      val w = Window.partitionBy("doc_id").orderBy("term")
+      val capped = t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
+        .select(col("doc_id"), col("term"))
+      val b = capped.select(col("doc_id"), col("term").as("term_b"))
+      capped.join(b, Seq("doc_id"))
+        .filter(col("term") < col("term_b"))
+        .groupBy(col("term").as("term_a"), col("term_b")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("term_a"), col("term_b"), col("n"))
     }),
 
     // WebGraph-style term dictionary: every distinct token → dense 0-based
@@ -1242,6 +1267,7 @@ object SparkEntry {
     "q_ppr_iter3" -> DocGraph.pprIterSql(3),
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
+    "q_mis_iter3" -> DocGraph.misIterSql(3),
 
     "q_truss3_iter2" -> Truss.peelSql(DocGraph.graphCtes, k = 3, rounds = 2),
 
@@ -1493,6 +1519,17 @@ object SparkEntry {
         |  SELECT lang, term, n,
         |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
         |  FROM c) WHERE rn <= 5""".stripMargin,
+
+    "q_term_cooccur" ->
+      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
+        |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |     WHERE length(term) > 0),
+        |tc AS (SELECT doc_id, term FROM (
+        |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+        |       FROM t) WHERE rn <= 12)
+        |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n
+        |FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // dense lexicographic ids == row_number over the sorted distinct terms;
     // binary-collation order is identical for this corpus in both engines

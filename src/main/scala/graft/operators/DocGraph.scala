@@ -396,6 +396,105 @@ object DocGraph {
     sb.toString
   }
 
+  /** Injective hash priority for [[misIter]]: v ↦ (v·2654435761 + 17) mod P
+    * with P = 1e9+7 prime and the multiplier coprime to P, so the map is a
+    * bijection on [0, P) — priorities are UNIQUE for vid < P (doc-graph vids
+    * are doc ids < |docs|, far inside), and min() needs no tie-break. */
+  private val MisPrime = 1000000007L
+  private def misPri(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (v * lit(2654435761L) + lit(17L)) % lit(MisPrime)
+
+  /**
+   * Exactly k rounds of Luby's maximal-independent-set algorithm (Luby,
+   * "A simple parallel algorithm for the maximal independent set problem",
+   * SIAM J. Comput. 1986) over the UNDIRECTED doc graph, derandomized with
+   * the injective hash priority [[misPri]]: an active vertex joins the MIS
+   * when its priority beats every active neighbor's; MIS members' active
+   * neighbors are removed; repeat. Deterministic, exact-integer, and each
+   * round strictly shrinks the active set (expected-constant fraction per
+   * round — O(log n) rounds to empty whp).
+   *
+   * Output: (vid, mis_st) with 1 = in MIS, 2 = removed (dominated by a MIS
+   * neighbor), 0 = still active after k rounds. Same lazy-checkpoint chain
+   * as [[bfsIterEdges]]: zero driver actions per round, ONE materializing
+   * action for the whole chain.
+   *
+   * 100 TB shape: each round is two src-keyed hash joins against the cached
+   * symmetric edge table plus a groupBy min — the PageRank superstep's
+   * shuffle profile, with the message volume shrinking as vertices settle.
+   */
+  def misIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    misIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def misIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val sym = GraphOps.symmetrized(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val (e, _, parts) = GraphOps.layoutForIteration(sym,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var st = verts.select(col("vid"), misPri(col("vid")).as("pri"),
+      lit(0L).as("st")).localCheckpoint(false)
+    inter += st
+    for (_ <- 1 to k) {
+      val act = st.filter(col("st") === 0L)
+      // min active-neighbor priority per vertex (sym edges: src side carries
+      // the neighbor's priority to dst)
+      val nm = e.join(pin(act), e("src") === act("vid"))
+        .select(e("dst").as("vid"), col("pri"))
+        .groupBy("vid").agg(min(col("pri")).as("nm"))
+      val win = act.join(pin(nm), Seq("vid"), "left")
+        .filter(col("pri") < coalesce(col("nm"), lit(Long.MaxValue)))
+        .select(col("vid"))
+      val rm = e.join(pin(win), e("src") === win("vid"))
+        .select(e("dst").as("vid")).distinct()
+      // O(|V|)-state joins stay shuffle-hash-pinned: broadcasting vertex
+      // state per round is the scale anti-pattern (same rationale as BFS)
+      st = st
+        .join(pin(win.withColumn("w", lit(1L))), Seq("vid"), "left")
+        .join(pin(rm.withColumn("r", lit(1L))), Seq("vid"), "left")
+        .select(col("vid"), col("pri"),
+          when(col("st") =!= 0L, col("st"))
+            .when(col("w").isNotNull, lit(1L))
+            .when(col("r").isNotNull, lit(2L))
+            .otherwise(lit(0L)).as("st"))
+        .localCheckpoint(false)
+      inter += st
+    }
+    val out = st.select(col("vid"), col("st").as("mis_st")).localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly k Luby MIS rounds (see [[misIter]]). */
+  def misIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      s""",
+        |s0 AS MATERIALIZED (SELECT vid, (vid*2654435761 + 17) % $MisPrime AS pri,
+        |        CAST(0 AS BIGINT) AS st FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |nm$i AS MATERIALIZED (SELECT e.dst AS vid, min(s.pri) AS nm
+        |        FROM sym e JOIN s$p s ON e.src = s.vid AND s.st = 0 GROUP BY e.dst),
+        |w$i AS MATERIALIZED (SELECT s.vid FROM s$p s LEFT JOIN nm$i n ON s.vid = n.vid
+        |        WHERE s.st = 0 AND s.pri < coalesce(n.nm, 9223372036854775807)),
+        |r$i AS MATERIALIZED (SELECT DISTINCT e.dst AS vid FROM sym e JOIN w$i w ON e.src = w.vid),
+        |s$i AS MATERIALIZED (SELECT s.vid, s.pri,
+        |        CASE WHEN s.st <> 0 THEN s.st
+        |             WHEN w.vid IS NOT NULL THEN CAST(1 AS BIGINT)
+        |             WHEN r.vid IS NOT NULL THEN CAST(2 AS BIGINT)
+        |             ELSE CAST(0 AS BIGINT) END AS st
+        |        FROM s$p s LEFT JOIN w$i w ON s.vid = w.vid
+        |                   LEFT JOIN r$i r ON s.vid = r.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, st AS mis_st FROM s$k")
+    sb.toString
+  }
+
   /**
    * Landmark distance sketch (Potamias, Bonchi, Castillo & Gionis, "Fast
    * shortest path distance estimation in large networks", CIKM 2009): exact

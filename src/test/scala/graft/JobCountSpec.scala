@@ -103,6 +103,13 @@ class JobCountSpec extends SparkSpec {
     assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
   }
 
+  test("Luby MIS: zero extra jobs per round (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j2 = jobsDuring { operators.DocGraph.misIterEdges(noAqe, e, 2).count() }
+    val j5 = jobsDuring { operators.DocGraph.misIterEdges(noAqe, e, 5).count() }
+    assert(j5 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j5=$j5")
+  }
+
   test("k-core peel: zero extra jobs per round (lazy chain, one materializing action)") {
     val e = pathEdges(noAqe)
     val j2 = jobsDuring { operators.DocGraph.kcoreIterEdges(noAqe, e, 2, 2).count() }

@@ -172,6 +172,38 @@ object SparkEntry {
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
     // 3 derandomized Luby MIS rounds: 1 = in MIS, 2 = dominated, 0 = active
     "q_mis_iter3" -> ((s, d) => DocGraph.misIter(s, d, 3)),
+    // 4 Luby-coloring rounds: color = winning round index (proper partial
+    // coloring by construction), 0 = still uncolored
+    "q_color_iter4" -> ((s, d) => DocGraph.colorIter(s, d, 4)),
+
+    // UNDIRECTED Newman degree assortativity (companion to the directed
+    // q_assortativity moments below), emitted as the three exact integer
+    // Pearson components over sym edges (r = num / sqrt(denx*deny)) — no
+    // float ever crosses the compare. decimal(38,0) intermediates mirror
+    // the oracle's HUGEINT; the final values fit BIGINT at harness SFs
+    // (at 100 TB, emit the decimals).
+    "q_assortativity_und" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val e   = DocGraph.edges(s, d)
+      val und = e.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val sym = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      val deg = sym.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+      val xy = sym
+        .join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "x"), Seq("src"))
+        .join(deg.withColumnRenamed("vid", "dst").withColumnRenamed("deg", "y"), Seq("dst"))
+      xy.agg(count(lit(1)).cast(dec).as("m"),
+          sum(col("x")).cast(dec).as("sx"), sum(col("y")).cast(dec).as("sy"),
+          sum(col("x").cast(dec) * col("y")).as("sxy"),
+          sum(col("x").cast(dec) * col("x")).as("sxx"),
+          sum(col("y").cast(dec) * col("y")).as("syy"))
+        .select(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("long").as("num"),
+          (col("m") * col("sxx") - col("sx") * col("sx")).cast("long").as("denx"),
+          (col("m") * col("syy") - col("sy") * col("sy")).cast("long").as("deny"),
+          col("m").cast("long").as("m"))
+    }),
 
     // 3-truss peel, 2 rounds: drop edges in no triangle, then re-check on
     // the shrunken graph (cascading deletions — the edge-level core test)
@@ -491,6 +523,37 @@ object SparkEntry {
         .groupBy(col("term").as("term_a"), col("term_b")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2)
         .select(col("term_a"), col("term_b"), col("n"))
+    }),
+
+    // Top-50 pairs by exact integer-ppm PMI lift over the SAME capped
+    // per-doc term universe as q_term_cooccur: lift_ppm =
+    // (n(a,b)·N·10⁶) div (df(a)·df(b)) — pure BIGINT arithmetic, bit-equal
+    // in both engines (log() never enters; the log is monotone so the
+    // ranking is the PMI ranking). N is one O(1) driver scalar (the 1×1
+    // cross-join alternative plans the BNLJ the engine bans). Products fit
+    // BIGINT through ~10⁹ docs; beyond that switch to decimal(38,0).
+    "q_pmi_top" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0).distinct()
+      val w = Window.partitionBy("doc_id").orderBy("term")
+      val capped = t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
+        .select(col("doc_id"), col("term")).localCheckpoint(true)
+      val nDocs = capped.select(col("doc_id")).distinct().count()
+      val df = capped.groupBy("term").agg(count(lit(1)).as("df"))
+      val b = capped.select(col("doc_id"), col("term").as("term_b"))
+      val pairs = capped.join(b, Seq("doc_id"))
+        .filter(col("term") < col("term_b"))
+        .groupBy(col("term").as("term_a"), col("term_b")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      pairs
+        .join(df.select(col("term").as("term_a"), col("df").as("dfa")), Seq("term_a"))
+        .join(df.select(col("term").as("term_b"), col("df").as("dfb")), Seq("term_b"))
+        .select(col("term_a"), col("term_b"), col("n"), col("dfa"), col("dfb"),
+          call_function("div", col("n") * lit(nDocs) * lit(1000000L),
+            col("dfa") * col("dfb")).as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("term_a"), col("term_b"))
+        .limit(50)
     }),
 
     // WebGraph-style term dictionary: every distinct token → dense 0-based
@@ -1268,6 +1331,7 @@ object SparkEntry {
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
     "q_mis_iter3" -> DocGraph.misIterSql(3),
+    "q_color_iter4" -> DocGraph.colorIterSql(4),
 
     "q_truss3_iter2" -> Truss.peelSql(DocGraph.graphCtes, k = 3, rounds = 2),
 
@@ -1305,6 +1369,25 @@ object SparkEntry {
          |       CAST(sum(x*x) AS BIGINT) AS sum_x2,
          |       CAST(sum(y*y) AS BIGINT) AS sum_y2
          |FROM edges e JOIN od USING (src) JOIN idg USING (dst)""".stripMargin,
+
+    // undirected Pearson components; HUGEINT mirrors the engine's
+    // decimal(38,0) so num/denx/deny are exact before the BIGINT cast
+    "q_assortativity_und" ->
+      s"""$G,
+         |deg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY src),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y
+         |       FROM sym e JOIN deg dx ON e.src = dx.vid JOIN deg dy ON e.dst = dy.vid),
+         |mo AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+         |              CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |              CAST(sum(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy,
+         |              CAST(sum(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+         |              CAST(sum(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy
+         |       FROM xy)
+         |SELECT CAST(m*sxy - sx*sy AS BIGINT) AS num,
+         |       CAST(m*sxx - sx*sx AS BIGINT) AS denx,
+         |       CAST(m*syy - sy*sy AS BIGINT) AS deny,
+         |       CAST(m AS BIGINT) AS m
+         |FROM mo""".stripMargin,
     "q_source_graph" ->
       s"""$G
          |SELECT s1.source AS src_comm, s2.source AS dst_comm, count(*) AS n_links
@@ -1530,6 +1613,27 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n
         |FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // integer-ppm PMI lift over the same capped universe; // is DuckDB's
+    // integer division = Spark's div; the (lift desc, a, b) order is total
+    "q_pmi_top" ->
+      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
+        |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |     WHERE length(term) > 0),
+        |tc AS (SELECT doc_id, term FROM (
+        |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+        |       FROM t) WHERE rn <= 12),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY term),
+        |pairs AS (SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n
+        |          FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT term_a, term_b, n, da.df AS dfa, db.df AS dfb,
+        |       CAST((n * (SELECT n_docs FROM nd) * 1000000) // (da.df * db.df) AS BIGINT)
+        |         AS lift_ppm
+        |FROM pairs JOIN df da ON pairs.term_a = da.term
+        |           JOIN df db ON pairs.term_b = db.term
+        |ORDER BY lift_ppm DESC, term_a, term_b LIMIT 50""".stripMargin,
 
     // dense lexicographic ids == row_number over the sorted distinct terms;
     // binary-collation order is identical for this corpus in both engines

@@ -496,6 +496,83 @@ object DocGraph {
   }
 
   /**
+   * Exactly k rounds of Luby-style greedy graph coloring over the
+   * UNDIRECTED doc graph: each round, every still-uncolored vertex whose
+   * [[misPri]] priority beats all its UNCOLORED neighbors' takes the round
+   * index as its color. The round's winners are an independent set of the
+   * residual graph, so two adjacent vertices can never receive the same
+   * color — a proper partial coloring by construction, using ≤ k colors.
+   * This is the round-synchronous member of the Jones–Plassmann / Luby
+   * family (Jones & Plassmann, "A parallel graph coloring heuristic",
+   * SIAM J. Sci. Comput. 1993), trading color count for a message pattern
+   * identical to [[misIter]] minus the removal wave: one neighbor-min
+   * shuffle + one state join per round, volume shrinking as vertices color.
+   *
+   * Output: (vid, color) with color ∈ [1, k], or 0 = still uncolored after
+   * k rounds. Same lazy-checkpoint chain as [[misIterEdges]]: zero driver
+   * actions per round, ONE materializing action for the whole chain.
+   */
+  def colorIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    colorIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def colorIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val sym = GraphOps.symmetrized(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    val (e, _, parts) = GraphOps.layoutForIteration(sym,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var st = verts.select(col("vid"), misPri(col("vid")).as("pri"),
+      lit(0L).as("color")).localCheckpoint(false)
+    inter += st
+    for (i <- 1 to k) {
+      val act = st.filter(col("color") === 0L)
+      val nm = e.join(pin(act), e("src") === act("vid"))
+        .select(e("dst").as("vid"), col("pri"))
+        .groupBy("vid").agg(min(col("pri")).as("nm"))
+      val win = act.join(pin(nm), Seq("vid"), "left")
+        .filter(col("pri") < coalesce(col("nm"), lit(Long.MaxValue)))
+        .select(col("vid"), lit(1L).as("w"))
+      st = st.join(pin(win), Seq("vid"), "left")
+        .select(col("vid"), col("pri"),
+          when(col("color") =!= 0L, col("color"))
+            .when(col("w").isNotNull, lit(i.toLong))
+            .otherwise(lit(0L)).as("color"))
+        .localCheckpoint(false)
+      inter += st
+    }
+    val out = st.select(col("vid"), col("color")).localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly k Luby-coloring rounds (see [[colorIter]]). */
+  def colorIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      s""",
+        |c0 AS MATERIALIZED (SELECT vid, (vid*2654435761 + 17) % $MisPrime AS pri,
+        |        CAST(0 AS BIGINT) AS color FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |cn$i AS MATERIALIZED (SELECT e.dst AS vid, min(s.pri) AS nm
+        |        FROM sym e JOIN c$p s ON e.src = s.vid AND s.color = 0 GROUP BY e.dst),
+        |cw$i AS MATERIALIZED (SELECT s.vid FROM c$p s LEFT JOIN cn$i n ON s.vid = n.vid
+        |        WHERE s.color = 0 AND s.pri < coalesce(n.nm, 9223372036854775807)),
+        |c$i AS MATERIALIZED (SELECT s.vid, s.pri,
+        |        CASE WHEN s.color <> 0 THEN s.color
+        |             WHEN w.vid IS NOT NULL THEN CAST($i AS BIGINT)
+        |             ELSE CAST(0 AS BIGINT) END AS color
+        |        FROM c$p s LEFT JOIN cw$i w ON s.vid = w.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, color FROM c$k")
+    sb.toString
+  }
+
+  /**
    * Landmark distance sketch (Potamias, Bonchi, Castillo & Gionis, "Fast
    * shortest path distance estimation in large networks", CIKM 2009): exact
    * hop distances from every vertex TO a fixed landmark set within k

@@ -110,6 +110,13 @@ class JobCountSpec extends SparkSpec {
     assert(j5 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j5=$j5")
   }
 
+  test("Luby coloring: zero extra jobs per round (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j2 = jobsDuring { operators.DocGraph.colorIterEdges(noAqe, e, 2).count() }
+    val j5 = jobsDuring { operators.DocGraph.colorIterEdges(noAqe, e, 5).count() }
+    assert(j5 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j5=$j5")
+  }
+
   test("k-core peel: zero extra jobs per round (lazy chain, one materializing action)") {
     val e = pathEdges(noAqe)
     val j2 = jobsDuring { operators.DocGraph.kcoreIterEdges(noAqe, e, 2, 2).count() }

@@ -218,6 +218,13 @@ object SparkEntry {
       operators.Neighborhood.exactBall(GraphOps.vertices(e), e, 2)
     }),
 
+    // exact truncated harmonic centrality at radius 2, ×6-integer-scaled
+    // (6 for distance 1, 3 for distance 2 — LCM keeps it pure BIGINT)
+    "q_harmonic2" -> ((s, d) => {
+      val e = DocGraph.edges(s, d)
+      operators.Neighborhood.harmonic(GraphOps.vertices(e), e, 2, 6L)
+    }),
+
     // HyperBall vs exact gate: mean relative error of the m=64-register
     // HLL ball estimate over all vertices. Hash-deterministic registers +
     // idempotent unions ⇒ the error is a fixed number per corpus (measured
@@ -1344,6 +1351,22 @@ object SparkEntry {
         |r2 AS MATERIALIZED (SELECT r1.src, e.dst FROM r1 JOIN edges e ON r1.dst = e.src
         |  UNION SELECT src, dst FROM r1)
         |SELECT src AS vid, CAST(count(*) AS BIGINT) AS ball FROM r2 GROUP BY 1""".stripMargin),
+
+    // distance layers peeled by EXCEPT so every pair contributes at its
+    // min distance; 6/d keeps the harmonic sum in BIGINT
+    "q_harmonic2" -> (DocGraph.graphCtes +
+      """,
+        |d1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+        |d2 AS MATERIALIZED (
+        |  SELECT src, dst FROM (
+        |    SELECT DISTINCT a.src, e.dst FROM d1 a JOIN d1 e ON a.dst = e.src
+        |    WHERE a.src <> e.dst)
+        |  EXCEPT SELECT src, dst FROM d1),
+        |h AS (SELECT dst AS vid, 6*count(*) AS s FROM d1 GROUP BY dst
+        |      UNION ALL
+        |      SELECT dst AS vid, 3*count(*) AS s FROM d2 GROUP BY dst)
+        |SELECT v.vid, CAST(coalesce(sum(s), 0) AS BIGINT) AS harmonic_x6
+        |FROM verts v LEFT JOIN h ON v.vid = h.vid GROUP BY v.vid""".stripMargin),
 
     // the oracle recomputes the exact anchors and pins the gate at its
     // provable value (same convention as q_hll_gate / q_cms_gate)

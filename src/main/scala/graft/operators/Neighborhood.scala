@@ -50,6 +50,45 @@ object Neighborhood {
     reach.groupBy(col("src").as("vid")).agg(count(lit(1)).as("ball"))
   }
 
+  /**
+   * (vid, harmonic_x{scale}) — exact TRUNCATED harmonic centrality at
+   * radius k (Boldi & Vigna, "Axioms for centrality", Internet Math.
+   * 2014): h(v) = Σ_{u : 1 ≤ dist(u,v) ≤ k} 1/dist(u,v), i.e. incoming
+   * orientation — the web-importance reading. Integer-scaled by `scale`
+   * (must be divisible by every d ≤ k, e.g. LCM(1..k)) so the score is
+   * pure BIGINT and bit-equal across engines — no float ever crosses the
+   * compare. Unreached vertices score 0 (present in the output).
+   *
+   * Distance layers are peeled exactly: frontier_{d+1} = (frontier_d ⋈
+   * edges) ∖ reach, so each pair contributes at its MIN distance only.
+   * Like [[exactBall]] this materializes Θ(Σ|B_k(v)|) pairs — the small-k
+   * verification path; at web scale the ball curve comes from
+   * [[hyperBall]] and harmonic from its per-radius deltas.
+   */
+  def harmonic(verts: DataFrame, edges: DataFrame, k: Int, scale: Long): DataFrame = {
+    require(k >= 1 && k <= 4, s"exact harmonic materializes Σ|B_k| pairs — k=$k refused")
+    require((1 to k).forall(d => scale % d == 0),
+      s"scale=$scale must be divisible by every distance ≤ $k")
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      .where(col("e_src") =!= col("e_dst")).distinct()
+    var reach    = verts.select(col("vid").as("src"), col("vid").as("dst"))
+    var frontier = reach
+    val layers = scala.collection.mutable.ArrayBuffer[(DataFrame, Int)]()
+    for (d <- 1 to k) {
+      val step = frontier.join(e, col("dst") === col("e_src"))
+        .select(col("src"), col("e_dst").as("dst")).distinct()
+      frontier = step.join(reach, Seq("src", "dst"), "left_anti").localCheckpoint(false)
+      reach = reach.union(frontier).localCheckpoint(false)
+      layers += (frontier -> d)
+    }
+    val col0 = s"harmonic_x$scale"
+    val h = layers.map { case (f, d) =>
+      f.groupBy(col("dst").as("vid")).agg((count(lit(1)) * lit(scale / d)).as("h"))
+    }.reduce(_ unionByName _).groupBy("vid").agg(sum(col("h")).as("h"))
+    verts.join(h, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("h"), lit(0L)).as(col0))
+  }
+
   /** (vid, est) — HyperBall estimate of |B_k(vid)| as a double. */
   def hyperBall(verts: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))

@@ -563,6 +563,26 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Anchor-text propagation (the web-search companion signal to
+    // PageRank: linking pages describe the target): each link src→dst
+    // endorses dst with src's capped term set; top-5 anchor terms per
+    // target by (count desc, term) — exact integers, the total order pins
+    // the cut. The per-target window is partitioned (scale-safe) and the
+    // per-key row bound is the capped vocabulary, never the in-degree.
+    "q_anchor_terms" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0).distinct()
+      val w = Window.partitionBy("doc_id").orderBy("term")
+      val capped = t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
+        .select(col("doc_id").as("src"), col("term"))
+      val at = DocGraph.edges(s, d).join(capped, Seq("src"))
+        .groupBy(col("dst").as("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      val w2 = Window.partitionBy("doc_id").orderBy(col("n").desc, col("term"))
+      at.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 5)
+        .select(col("doc_id"), col("term"), col("n"), col("rn"))
+    }),
+
     // WebGraph-style term dictionary: every distinct token → dense 0-based
     // id in lexicographic order, assigned by the range-partitioned
     // globalRank (never a single-partition window — see Dictionary scaladoc)
@@ -1636,6 +1656,23 @@ object SparkEntry {
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n
         |FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // anchor terms: same capped universe keyed by the linking doc, counts
+    // grouped on the link TARGET; rn cast BIGINT to match row_number
+    "q_anchor_terms" -> (DocGraph.edgesCte +
+      """,
+        |t AS (SELECT DISTINCT doc_id, term FROM (
+        |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |     WHERE length(term) > 0),
+        |tc AS (SELECT doc_id, term FROM (
+        |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+        |       FROM t) WHERE rn <= 12),
+        |at AS (SELECT e.dst AS doc_id, tc.term, CAST(count(*) AS BIGINT) AS n
+        |       FROM edges e JOIN tc ON e.src = tc.doc_id GROUP BY 1, 2)
+        |SELECT doc_id, term, n, rn FROM (
+        |  SELECT doc_id, term, n,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS BIGINT) AS rn
+        |  FROM at) WHERE rn <= 5""".stripMargin),
 
     // integer-ppm PMI lift over the same capped universe; // is DuckDB's
     // integer division = Spark's div; the (lift desc, a, b) order is total

@@ -300,6 +300,13 @@ object SparkEntry {
     "q_link_pred" -> ((s, d) =>
       GraphOps.linkPrediction(DocGraph.edges(s, d), minCommon = 2, maxHubDegree = 64)),
 
+    // co-citation / bibliographic coupling (directed duals; fan-capped on
+    // the pair-generating center so a hub never emits deg² rows)
+    "q_cocitation" -> ((s, d) =>
+      GraphOps.coCitation(DocGraph.edges(s, d), minCommon = 2, maxFanDegree = 64)),
+    "q_coupling" -> ((s, d) =>
+      GraphOps.coupling(DocGraph.edges(s, d), minCommon = 2, maxFanDegree = 64)),
+
     // full iterative runs, each with an EXACT oracle:
     //  - q_pagerank: 40 fixed supersteps (converged to ≲1e-7 L1 at these
     //    scales; the eps-driven variant is exercised by entry() + goldens) —
@@ -1512,6 +1519,24 @@ object SparkEntry {
          |JOIN sdeg da ON da.vid = c.x
          |JOIN sdeg db ON db.vid = c.y
          |WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = c.x AND u.b = c.y)""".stripMargin,
+
+    "q_cocitation" -> (DocGraph.edgesCte +
+      """,
+        |fan AS MATERIALIZED (SELECT src, count(*) AS dz FROM edges GROUP BY src),
+        |ok AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
+        |  JOIN fan ON e.src = fan.src AND fan.dz <= 64)
+        |SELECT p.dst AS a, q.dst AS b, CAST(count(*) AS BIGINT) AS cocite
+        |FROM ok p JOIN ok q ON p.src = q.src AND p.dst < q.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
+    "q_coupling" -> (DocGraph.edgesCte +
+      """,
+        |fan AS MATERIALIZED (SELECT dst, count(*) AS dz FROM edges GROUP BY dst),
+        |ok AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
+        |  JOIN fan ON e.dst = fan.dst AND fan.dz <= 64)
+        |SELECT p.src AS a, q.src AS b, CAST(count(*) AS BIGINT) AS coupled
+        |FROM ok p JOIN ok q ON p.dst = q.dst AND p.src < q.src
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
     "q_pii_redact" ->
       s"""WITH t AS (SELECT doc_id,

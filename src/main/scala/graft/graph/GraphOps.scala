@@ -266,6 +266,40 @@ object GraphOps {
           col("dega") + col("degb") - col("cn")).as("jaccard_ppm"))
   }
 
+  /**
+   * Co-citation (Small, JASIS 1973): pairs (a, b) linked together by at
+   * least `minCommon` distinct sources. The center of each generated pair
+   * is the CITING doc, so the quadratic fan-out is bounded by capping the
+   * citing out-degree at `maxFanDegree` (a hub source contributes deg²
+   * pairs — same hub discipline as [[linkPrediction]]). Directed.
+   */
+  def coCitation(edges: DataFrame, minCommon: Int = 2, maxFanDegree: Int = 64): DataFrame =
+    pairsByCenter(edges.select(col("src").as("z"), col("dst").as("n")),
+      minCommon, maxFanDegree, "cocite")
+
+  /**
+   * Bibliographic coupling (Kessler, American Documentation 1963): pairs
+   * (a, b) citing at least `minCommon` common targets — co-citation's
+   * dual, centered on the cited target's in-degree.
+   */
+  def coupling(edges: DataFrame, minCommon: Int = 2, maxFanDegree: Int = 64): DataFrame =
+    pairsByCenter(edges.select(col("dst").as("z"), col("src").as("n")),
+      minCommon, maxFanDegree, "coupled")
+
+  /** Common-center pair counts with the center's fan-out capped: the one
+    * self-join both measures share. Output (a, b, <cntName>), a < b. */
+  private def pairsByCenter(zn: DataFrame, minCommon: Int, maxFan: Int,
+                            cntName: String): DataFrame = {
+    val deg = zn.groupBy("z").agg(count(lit(1)).as("dz"))
+    val ok  = deg.filter(col("dz") <= maxFan).select("z")
+    val capped = zn.join(ok, Seq("z"), "left_semi")
+    capped.select(col("z"), col("n").as("a"))
+      .join(capped.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as(cntName))
+      .filter(col(cntName) >= minCommon)
+  }
+
   /** S5 — SNAP-style text edge-list ingest (`src<ws>dst`, `#` comments). */
   def edgeListText(spark: SparkSession, path: String): Dataset[Edge] = {
     import spark.implicits._

@@ -170,6 +170,9 @@ object SparkEntry {
     "q_hits_iter2" -> ((s, d) => DocGraph.hitsIter(s, d, 2)),
     // multi-source BFS distances from the vid%100 seed set (exact integers)
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
+    // 2 SALSA iterations (degree-normalized HITS — the third classical
+    // link-analysis scorer beside PageRank and HITS)
+    "q_salsa_iter2" -> ((s, d) => DocGraph.salsaIter(s, d, 2)),
     // 3 derandomized Luby MIS rounds: 1 = in MIS, 2 = dominated, 0 = active
     "q_mis_iter3" -> ((s, d) => DocGraph.misIter(s, d, 3)),
     // 4 Luby-coloring rounds: color = winning round index (proper partial
@@ -1364,6 +1367,7 @@ object SparkEntry {
     "q_ppr_iter3" -> DocGraph.pprIterSql(3),
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
+    "q_salsa_iter2" -> DocGraph.salsaIterSql(2),
     "q_mis_iter3" -> DocGraph.misIterSql(3),
     "q_color_iter4" -> DocGraph.colorIterSql(4),
 

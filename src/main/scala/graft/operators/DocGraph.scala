@@ -297,6 +297,102 @@ object DocGraph {
     out
   }
 
+  /**
+   * Exactly k SALSA iterations (Lempel & Moran, "The stochastic approach
+   * for link-structure analysis", WWW 2000): HITS's mutual reinforcement
+   * with each contribution divided by the SENDER's degree —
+   * a(v) = Σ_{u→v} h(u)/outdeg(u), h(u) = Σ_{u→v} a(v)/indeg(v). The
+   * per-edge division makes each half-step a stochastic matrix multiply,
+   * so L1 mass is conserved over the non-dangling set and NO normalizer
+   * aggregate is needed: unlike [[hitsIterEdges]] the loop runs ZERO
+   * driver actions per round — a pure lazy-checkpoint chain materialized
+   * by the consumer (bfsIter's discipline). e7 floor pins FP summation
+   * order like every double-valued driver here.
+   */
+  def salsaIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    salsaIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def salsaIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                    broadcastMaxRows: Long = 500000L): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val vertsOut = GraphOps.vertices(e)
+      .join(GraphOps.outDegrees(e), Seq("vid"), "left")
+      .repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vertsIn = GraphOps.vertices(e)
+      .join(GraphOps.inDegrees(e), Seq("vid"), "left")
+      .repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nV = vertsOut.count()
+    def pin(df: DataFrame): DataFrame =
+      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var h = vertsOut.select(col("vid"), lit(1.0).as("h"), col("outDeg"))
+      .localCheckpoint(false)
+    inter += h
+    var a: DataFrame = null
+    for (_ <- 1 to k) {
+      val ca = e.join(
+          pin(h.filter(col("outDeg").isNotNull)
+            .select(col("vid"), (col("h") / col("outDeg")).as("c"))),
+          e("src") === col("vid"))
+        .groupBy(e("dst").as("dvid")).agg(sum(col("c")).as("s"))
+      a = vertsIn.join(pin(ca), col("vid") === col("dvid"), "left")
+        .select(col("vid"), coalesce(col("s"), lit(0.0)).as("a"), col("inDeg"))
+        .localCheckpoint(false)
+      inter += a
+      val ch = e.join(
+          pin(a.filter(col("inDeg").isNotNull)
+            .select(col("vid"), (col("a") / col("inDeg")).as("c"))),
+          e("dst") === col("vid"))
+        .groupBy(e("src").as("svid")).agg(sum(col("c")).as("s"))
+      h = vertsOut.join(pin(ch), col("vid") === col("svid"), "left")
+        .select(col("vid"), coalesce(col("s"), lit(0.0)).as("h"), col("outDeg"))
+        .localCheckpoint(false)
+      inter += h
+    }
+    val out = a.select(col("vid"), col("a"))
+      .join(h.select(col("vid"), col("h")), Seq("vid"))
+      .select(col("vid"),
+        floor(col("a") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"salsa_a${k}e7"),
+        floor(col("h") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"salsa_h${k}e7"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false); vertsOut.unpersist(false); vertsIn.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly k SALSA iterations (see [[salsaIter]]). */
+  def salsaIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |indeg AS MATERIALIZED (SELECT dst AS vid, count(*) AS c FROM edges GROUP BY dst),
+        |s_h0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS h FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |s_ar$i AS MATERIALIZED (SELECT e.dst AS vid, sum(s_h$p.h / od.c) AS s
+        |        FROM edges e JOIN s_h$p ON e.src = s_h$p.vid
+        |        JOIN outdeg od ON od.vid = e.src GROUP BY e.dst),
+        |s_a$i AS MATERIALIZED (SELECT v.vid, coalesce(s_ar$i.s, CAST(0.0 AS DOUBLE)) AS a
+        |        FROM verts v LEFT JOIN s_ar$i ON v.vid = s_ar$i.vid),
+        |s_hr$i AS MATERIALIZED (SELECT e.src AS vid, sum(s_a$i.a / idg.c) AS s
+        |        FROM edges e JOIN s_a$i ON e.dst = s_a$i.vid
+        |        JOIN indeg idg ON idg.vid = e.dst GROUP BY e.src),
+        |s_h$i AS MATERIALIZED (SELECT v.vid, coalesce(s_hr$i.s, CAST(0.0 AS DOUBLE)) AS h
+        |        FROM verts v LEFT JOIN s_hr$i ON v.vid = s_hr$i.vid)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT s_a$k.vid, CAST(floor(a*1e7 + 0.500001) AS BIGINT) AS salsa_a${k}e7,
+      |       CAST(floor(h*1e7 + 0.500001) AS BIGINT) AS salsa_h${k}e7
+      |FROM s_a$k JOIN s_h$k ON s_a$k.vid = s_h$k.vid""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle SQL for exactly k HITS iterations (L1-normalized, see [[hitsIter]]). */
   def hitsIterSql(k: Int): String = {
     val sb = new StringBuilder(graphCtes)

@@ -110,6 +110,13 @@ class JobCountSpec extends SparkSpec {
     assert(j5 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j5=$j5")
   }
 
+  test("SALSA: zero extra jobs per iteration (stochastic half-steps need no normalizer)") {
+    val e = pathEdges(noAqe)
+    val j2 = jobsDuring { operators.DocGraph.salsaIterEdges(noAqe, e, 2, broadcastMaxRows = 0L).count() }
+    val j5 = jobsDuring { operators.DocGraph.salsaIterEdges(noAqe, e, 5, broadcastMaxRows = 0L).count() }
+    assert(j5 - j2 == 0, s"expected an iteration-independent job count, got j2=$j2 j5=$j5")
+  }
+
   test("Luby coloring: zero extra jobs per round (lazy chain, one materializing action)") {
     val e = pathEdges(noAqe)
     val j2 = jobsDuring { operators.DocGraph.colorIterEdges(noAqe, e, 2).count() }

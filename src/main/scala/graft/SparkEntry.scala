@@ -89,6 +89,30 @@ object SparkEntry {
     e.select((col("vec_id") + lit(EmbTwinOff)).as("vec_id"), col("embedding"))
 
   private def docs(s: SparkSession, dir: String)   = s.read.parquet(s"$dir/documents.parquet")
+
+  /** The capped per-doc term universe shared by q_term_cooccur / q_pmi_top /
+    * q_anchor_terms: distinct whitespace tokens per doc, kept only the 12
+    * lexicographically smallest — bounds every downstream pair/anchor
+    * fan-out (≤66 pairs, ≤12 anchor terms per doc) regardless of doc
+    * length. ONE definition so the three queries can never drift apart. */
+  private def cappedTerms(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val w = Window.partitionBy("doc_id").orderBy("term")
+    t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
+      .select(col("doc_id"), col("term"))
+  }
+
+  /** The same capped universe as a `t`,`tc` CTE fragment (no leading WITH,
+    * so it composes after other CTE prefixes such as the edges CTE). */
+  private val CappedTermsCtes: String =
+    """t AS (SELECT DISTINCT doc_id, term FROM (
+      |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |     WHERE length(term) > 0),
+      |tc AS (SELECT doc_id, term FROM (
+      |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
+      |       FROM t) WHERE rn <= 12)""".stripMargin
   private def emb(s: SparkSession, dir: String)    = s.read.parquet(s"$dir/embeddings.parquet")
   private def li(s: SparkSession, dir: String)     = s.read.parquet(s"$dir/lineitem.parquet")
   private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
@@ -187,11 +211,7 @@ object SparkEntry {
     // (at 100 TB, emit the decimals).
     "q_assortativity_und" -> ((s, d) => {
       val dec = "decimal(38,0)"
-      val e   = DocGraph.edges(s, d)
-      val und = e.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b")).distinct()
-      val sym = und.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      val sym = GraphOps.symmetrized(DocGraph.edges(s, d))
       val deg = sym.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
       val xy = sym
         .join(deg.withColumnRenamed("vid", "src").withColumnRenamed("deg", "x"), Seq("src"))
@@ -528,12 +548,7 @@ object SparkEntry {
     // not the doc length, is the 100 TB envelope. Pairs are (a < b)
     // canonicalized; singleton pairs dropped.
     "q_term_cooccur" -> ((s, d) => {
-      val t = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0).distinct()
-      val w = Window.partitionBy("doc_id").orderBy("term")
-      val capped = t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
-        .select(col("doc_id"), col("term"))
+      val capped = cappedTerms(s, d)
       val b = capped.select(col("doc_id"), col("term").as("term_b"))
       capped.join(b, Seq("doc_id"))
         .filter(col("term") < col("term_b"))
@@ -543,19 +558,17 @@ object SparkEntry {
     }),
 
     // Top-50 pairs by exact integer-ppm PMI lift over the SAME capped
-    // per-doc term universe as q_term_cooccur: lift_ppm =
-    // (n(a,b)·N·10⁶) div (df(a)·df(b)) — pure BIGINT arithmetic, bit-equal
-    // in both engines (log() never enters; the log is monotone so the
-    // ranking is the PMI ranking). N is one O(1) driver scalar (the 1×1
-    // cross-join alternative plans the BNLJ the engine bans). Products fit
-    // BIGINT through ~10⁹ docs; beyond that switch to decimal(38,0).
+    // per-doc term universe as q_term_cooccur (one cappedTerms source):
+    // lift_ppm = (n(a,b)·N·10⁶) div (df(a)·df(b)) — log() never enters
+    // (monotone), so the ranking is the PMI ranking in exact integers.
+    // N is one O(1) driver scalar (the 1×1 cross-join alternative plans
+    // the BNLJ the engine bans). The numerator n·N·10⁶ outgrows BIGINT
+    // once corpus-frequent pairs (n ∝ N) pass ~3·10⁶ docs, so both
+    // engines compute in 38-digit integers (decimal(38,0) ≡ HUGEINT) and
+    // only the ≤N·5·10⁵ quotient is cast back to BIGINT.
     "q_pmi_top" -> ((s, d) => {
-      val t = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0).distinct()
-      val w = Window.partitionBy("doc_id").orderBy("term")
-      val capped = t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
-        .select(col("doc_id"), col("term")).localCheckpoint(true)
+      val dec = "decimal(38,0)"
+      val capped = cappedTerms(s, d).localCheckpoint(true)
       val nDocs = capped.select(col("doc_id")).distinct().count()
       val df = capped.groupBy("term").agg(count(lit(1)).as("df"))
       val b = capped.select(col("doc_id"), col("term").as("term_b"))
@@ -567,8 +580,8 @@ object SparkEntry {
         .join(df.select(col("term").as("term_a"), col("df").as("dfa")), Seq("term_a"))
         .join(df.select(col("term").as("term_b"), col("df").as("dfb")), Seq("term_b"))
         .select(col("term_a"), col("term_b"), col("n"), col("dfa"), col("dfb"),
-          call_function("div", col("n") * lit(nDocs) * lit(1000000L),
-            col("dfa") * col("dfb")).as("lift_ppm"))
+          call_function("div", col("n").cast(dec) * lit(nDocs) * lit(1000000L),
+            col("dfa").cast(dec) * col("dfb")).as("lift_ppm"))
         .orderBy(col("lift_ppm").desc, col("term_a"), col("term_b"))
         .limit(50)
     }),
@@ -580,16 +593,11 @@ object SparkEntry {
     // the cut. The per-target window is partitioned (scale-safe) and the
     // per-key row bound is the capped vocabulary, never the in-degree.
     "q_anchor_terms" -> ((s, d) => {
-      val t = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(length(col("term")) > 0).distinct()
-      val w = Window.partitionBy("doc_id").orderBy("term")
-      val capped = t.withColumn("rn", row_number().over(w)).filter(col("rn") <= 12)
-        .select(col("doc_id").as("src"), col("term"))
+      val capped = cappedTerms(s, d).select(col("doc_id").as("src"), col("term"))
       val at = DocGraph.edges(s, d).join(capped, Seq("src"))
         .groupBy(col("dst").as("doc_id"), col("term")).agg(count(lit(1)).as("n"))
       val w2 = Window.partitionBy("doc_id").orderBy(col("n").desc, col("term"))
-      at.withColumn("rn", row_number().over(w2)).filter(col("rn") <= 5)
+      at.withColumn("rn", row_number().over(w2).cast("long")).filter(col("rn") <= 5)
         .select(col("doc_id"), col("term"), col("n"), col("rn"))
     }),
 
@@ -1676,26 +1684,16 @@ object SparkEntry {
         |  FROM c) WHERE rn <= 5""".stripMargin,
 
     "q_term_cooccur" ->
-      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
-        |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |     WHERE length(term) > 0),
-        |tc AS (SELECT doc_id, term FROM (
-        |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
-        |       FROM t) WHERE rn <= 12)
+      (s"WITH $CappedTermsCtes" +
+      """
         |SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n
         |FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
     // anchor terms: same capped universe keyed by the linking doc, counts
-    // grouped on the link TARGET; rn cast BIGINT to match row_number
-    "q_anchor_terms" -> (DocGraph.edgesCte +
+    // grouped on the link TARGET; rn cast BIGINT on both sides
+    "q_anchor_terms" -> (DocGraph.edgesCte + s",\n$CappedTermsCtes" +
       """,
-        |t AS (SELECT DISTINCT doc_id, term FROM (
-        |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |     WHERE length(term) > 0),
-        |tc AS (SELECT doc_id, term FROM (
-        |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
-        |       FROM t) WHERE rn <= 12),
         |at AS (SELECT e.dst AS doc_id, tc.term, CAST(count(*) AS BIGINT) AS n
         |       FROM edges e JOIN tc ON e.src = tc.doc_id GROUP BY 1, 2)
         |SELECT doc_id, term, n, rn FROM (
@@ -1704,25 +1702,22 @@ object SparkEntry {
         |  FROM at) WHERE rn <= 5""".stripMargin),
 
     // integer-ppm PMI lift over the same capped universe; // is DuckDB's
-    // integer division = Spark's div; the (lift desc, a, b) order is total
+    // integer division = Spark's div; the (lift desc, a, b) order is
+    // total. HUGEINT products mirror the engine's decimal(38,0).
     "q_pmi_top" ->
-      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
-        |       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
-        |     WHERE length(term) > 0),
-        |tc AS (SELECT doc_id, term FROM (
-        |       SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn
-        |       FROM t) WHERE rn <= 12),
+      (s"WITH $CappedTermsCtes" +
+      """,
         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc),
         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY term),
         |pairs AS (SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n
         |          FROM tc a JOIN tc b ON a.doc_id = b.doc_id AND a.term < b.term
         |          GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT term_a, term_b, n, da.df AS dfa, db.df AS dfb,
-        |       CAST((n * (SELECT n_docs FROM nd) * 1000000) // (da.df * db.df) AS BIGINT)
-        |         AS lift_ppm
+        |       CAST((CAST(n AS HUGEINT) * (SELECT n_docs FROM nd) * 1000000)
+        |            // (CAST(da.df AS HUGEINT) * db.df) AS BIGINT) AS lift_ppm
         |FROM pairs JOIN df da ON pairs.term_a = da.term
         |           JOIN df db ON pairs.term_b = db.term
-        |ORDER BY lift_ppm DESC, term_a, term_b LIMIT 50""".stripMargin,
+        |ORDER BY lift_ppm DESC, term_a, term_b LIMIT 50""".stripMargin),
 
     // dense lexicographic ids == row_number over the sorted distinct terms;
     // binary-collation order is identical for this corpus in both engines

@@ -233,15 +233,18 @@ object DocGraph {
    * normalizer. Summation order differs from the oracle's Σ-of-groups by
    * ≲1e-15 relative; the e7 floor pins it (same discipline as prIter).
    */
-  private[graft] def hitsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
-                                   broadcastMaxRows: Long = 500000L): DataFrame = {
+  /**
+   * Shared HITS/SALSA layout: co-partitioned edges plus degree-PRE-JOINED,
+   * persisted vertex tables — a degree join inside the iteration loop
+   * would re-run per half-step, and its unpinned BroadcastExchange submits
+   * an extra async job each time (the per-superstep action creep the r4
+   * rewrite removed). Callers unpersist all three.
+   */
+  private def linkAnalysisLayout(spark: SparkSession, edges0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val (e, _, parts) = GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    // degrees are PRE-JOINED onto the vertex set once and persisted: a
-    // degree join inside the loop would re-run per half-step, and its
-    // unpinned BroadcastExchange submits an extra async job each time —
-    // exactly the per-superstep action creep this rewrite removes
     val vertsOut = GraphOps.vertices(e)
       .join(GraphOps.outDegrees(e), Seq("vid"), "left")
       .repartition(parts, col("vid"))
@@ -250,7 +253,12 @@ object DocGraph {
       .join(GraphOps.inDegrees(e), Seq("vid"), "left")
       .repartition(parts, col("vid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nV = vertsOut.count()
+    (e, vertsOut, vertsIn, vertsOut.count())
+  }
+
+  private[graft] def hitsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                   broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, vertsOut, vertsIn, nV) = linkAnalysisLayout(spark, edges0)
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     // ifEmpty = 1.0 below: an edgeless graph has an empty frontier (every
@@ -315,18 +323,7 @@ object DocGraph {
   private[graft] def salsaIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
                                     broadcastMaxRows: Long = 500000L): DataFrame = {
     require(k >= 1, s"k=$k")
-    val (e, _, parts) = GraphOps.layoutForIteration(
-      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val vertsOut = GraphOps.vertices(e)
-      .join(GraphOps.outDegrees(e), Seq("vid"), "left")
-      .repartition(parts, col("vid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vertsIn = GraphOps.vertices(e)
-      .join(GraphOps.inDegrees(e), Seq("vid"), "left")
-      .repartition(parts, col("vid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nV = vertsOut.count()
+    val (e, vertsOut, vertsIn, nV) = linkAnalysisLayout(spark, edges0)
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()

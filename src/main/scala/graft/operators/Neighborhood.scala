@@ -69,8 +69,10 @@ object Neighborhood {
     require(k >= 1 && k <= 4, s"exact harmonic materializes Σ|B_k| pairs — k=$k refused")
     require((1 to k).forall(d => scale % d == 0),
       s"scale=$scale must be divisible by every distance ≤ $k")
+    // no input dedup needed: each step's .distinct() collapses duplicate
+    // edges, and the anti-join against reach (seeded with identity pairs)
+    // drops self-loop and shorter-distance pairs — same trust as exactBall
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
-      .where(col("e_src") =!= col("e_dst")).distinct()
     var reach    = verts.select(col("vid").as("src"), col("vid").as("dst"))
     var frontier = reach
     val layers = scala.collection.mutable.ArrayBuffer[(DataFrame, Int)]()

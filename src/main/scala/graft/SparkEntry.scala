@@ -194,6 +194,9 @@ object SparkEntry {
     "q_hits_iter2" -> ((s, d) => DocGraph.hitsIter(s, d, 2)),
     // multi-source BFS distances from the vid%100 seed set (exact integers)
     "q_bfs_iter4" -> ((s, d) => DocGraph.bfsIter(s, d, 4)),
+    // weighted Bellman-Ford SSSP, 4 supersteps, w(u,v) = (u+v)%5+1 —
+    // the min-plus semiring generalization of BFS (exact integers)
+    "q_sssp_iter4" -> ((s, d) => DocGraph.ssspIter(s, d, 4)),
     // 2 SALSA iterations (degree-normalized HITS — the third classical
     // link-analysis scorer beside PageRank and HITS)
     "q_salsa_iter2" -> ((s, d) => DocGraph.salsaIter(s, d, 2)),
@@ -202,6 +205,9 @@ object SparkEntry {
     // 4 Luby-coloring rounds: color = winning round index (proper partial
     // coloring by construction), 0 = still uncolored
     "q_color_iter4" -> ((s, d) => DocGraph.colorIter(s, d, 4)),
+    // 3 derandomized greedy maximal-matching rounds (Israeli–Itai family):
+    // mate = matched partner vid, -1 = still unmatched
+    "q_match_iter3" -> ((s, d) => DocGraph.matchIter(s, d, 3)),
 
     // UNDIRECTED Newman degree assortativity (companion to the directed
     // q_assortativity moments below), emitted as the three exact integer
@@ -298,6 +304,13 @@ object SparkEntry {
     // arithmetic like assortativity's r)
     "q_source_modularity" -> ((s, d) =>
       operators.Communities.modularity(s, DocGraph.edges(s, d),
+        docs(s, d).select(col("doc_id").as("vid"), col("source").as("comm")))),
+
+    // exact per-community conductance of the source partition, integer-ppm
+    // (cut / min(vol, 2m−vol) — the spectral-clustering quality measure
+    // complementing modularity; see Communities.conductance)
+    "q_source_conductance" -> ((s, d) =>
+      operators.Communities.conductance(s, DocGraph.edges(s, d),
         docs(s, d).select(col("doc_id").as("vid"), col("source").as("comm")))),
 
     "q_cc_iter2" -> ((s, d) => DocGraph.ccIter(s, d, 2)),
@@ -1029,6 +1042,22 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     }),
 
+    // correlated LATERAL subquery join (SQL:2016): per-customer top-2 orders
+    // by (price desc, key) — the lateral form of the W2 per-group-top-k
+    // window pattern, exercising Catalyst's subquery decorrelation into a
+    // join + per-group limit instead of a global sort
+    "q_lateral_top2" -> ((s, d) => {
+      cust(s, d).createOrReplaceTempView("cust_lat")
+      orders(s, d).createOrReplaceTempView("ord_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM cust_lat c
+        JOIN LATERAL (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM ord_lat o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    }),
+
     // ordered distinct string aggregation (collect_set is unordered by
     // contract — the explicit array_sort is what makes the result
     // deterministic and hashable)
@@ -1092,6 +1121,31 @@ object SparkEntry {
         state, base, del.unionByName(upd).unionByName(ins),
         "o_orderkey", "o_orderstatus", cents(col("o_totalprice")))
         .select(col("o_orderstatus"), col("n"), col("s").as("rev_cents"))
+    }),
+
+    // incremental JOIN-VIEW maintenance (delta rule, touched-key recompute):
+    // maintain orders⋈customer under simultaneous fact + dimension
+    // changesets — survivors never recomputed, changed keys point-looked-up
+    "q_incr_join" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = cust(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val dOrd = o.filter(col("o_orderkey") % 97 === 0).withColumn("op", lit("D"))
+        .unionByName(o.filter(col("o_orderkey") % 91 === 0 && col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+          .withColumn("op", lit("U")))
+        .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("op", lit("I")))
+      val dCust = c.filter(col("c_custkey") % 59 === 0).withColumn("op", lit("D"))
+        .unionByName(c.filter(col("c_custkey") % 53 === 0 && col("c_custkey") % 59 =!= 0)
+          .withColumn("c_acctbal", col("c_acctbal") + lit(10.0))
+          .withColumn("op", lit("U")))
+      val v0 = operators.IncrementalJoin.view(o, c, "o_custkey", "c_custkey")
+      operators.IncrementalJoin.maintain(v0, o, dOrd, "o_orderkey", "o_custkey",
+          c, dCust, "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("o_cents"),
+          col("c_mktsegment"), cents(col("c_acctbal")).as("c_cents"))
     }),
 
     // year-over-year customer revenue matrix via FULL OUTER join of two
@@ -1375,9 +1429,11 @@ object SparkEntry {
     "q_ppr_iter3" -> DocGraph.pprIterSql(3),
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
+    "q_sssp_iter4" -> DocGraph.ssspIterSql(4),
     "q_salsa_iter2" -> DocGraph.salsaIterSql(2),
     "q_mis_iter3" -> DocGraph.misIterSql(3),
     "q_color_iter4" -> DocGraph.colorIterSql(4),
+    "q_match_iter3" -> DocGraph.matchIterSql(3),
 
     "q_truss3_iter2" -> Truss.peelSql(DocGraph.graphCtes, k = 3, rounds = 2),
 
@@ -1473,6 +1529,26 @@ object SparkEntry {
          |  CAST(4*(SELECT m FROM mm)*coalesce(ec.e_c, 0) - dc.d_c*dc.d_c AS BIGINT)
          |    AS q_scaled_4m2
          |FROM dc LEFT JOIN ec USING (comm)""".stripMargin,
+
+    "q_source_conductance" ->
+      s"""$G,
+         |mem AS (SELECT doc_id AS vid, source AS comm FROM documents),
+         |deg AS MATERIALIZED (SELECT vid, count(*) AS deg FROM
+         |  (SELECT a AS vid FROM und UNION ALL SELECT b AS vid FROM und) GROUP BY vid),
+         |mm AS (SELECT count(*) AS m FROM und),
+         |vc AS (SELECT mem.comm, CAST(sum(deg) AS BIGINT) AS vol
+         |       FROM deg JOIN mem USING (vid) GROUP BY mem.comm),
+         |ce AS MATERIALIZED (SELECT ma.comm AS ca, mb.comm AS cb
+         |       FROM und JOIN mem ma ON und.a = ma.vid JOIN mem mb ON und.b = mb.vid
+         |       WHERE ma.comm <> mb.comm),
+         |cut AS (SELECT comm, count(*) AS cut_e FROM
+         |  (SELECT ca AS comm FROM ce UNION ALL SELECT cb AS comm FROM ce) GROUP BY comm)
+         |SELECT vc.comm, CAST(coalesce(cut.cut_e, 0) AS BIGINT) AS cut_e, vc.vol,
+         |  CASE WHEN least(vc.vol, 2*(SELECT m FROM mm) - vc.vol) > 0
+         |       THEN CAST((1000000*coalesce(cut.cut_e, 0))
+         |                 // least(vc.vol, 2*(SELECT m FROM mm) - vc.vol) AS BIGINT)
+         |       ELSE -1 END AS phi_ppm
+         |FROM vc LEFT JOIN cut USING (comm)""".stripMargin,
 
     "q_cc_iter2" -> DocGraph.ccIterSql(2),
     "q_lp_iter2" -> DocGraph.lpIterSql(2),
@@ -2043,6 +2119,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
+    "q_lateral_top2" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+
     "q_string_agg" ->
       """SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
         |       count(*) AS n_docs
@@ -2095,6 +2178,26 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM merged GROUP BY o_orderstatus""".stripMargin,
+
+    "q_incr_join" ->
+      """WITH oupd AS (SELECT o_orderkey, o_custkey, o_totalprice + 100 AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey % 97 <> 0),
+        |oins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+        |        FROM orders WHERE o_orderkey % 89 = 0),
+        |o2 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 97 <> 0 AND o_orderkey % 91 <> 0
+        |  UNION ALL SELECT * FROM oupd
+        |  UNION ALL SELECT * FROM oins),
+        |c2 AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 59 <> 0 AND c_custkey % 53 <> 0
+        |  UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal + 10 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 53 = 0 AND c_custkey % 59 <> 0)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS o_cents,
+        |  c_mktsegment, CAST(round(c_acctbal*100) AS BIGINT) AS c_cents
+        |FROM o2 JOIN c2 ON o_custkey = c_custkey""".stripMargin,
 
     "q_yoy_fullouter" ->
       """WITH y95 AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS r

@@ -81,4 +81,45 @@ object Communities {
         (lit(4L * m) * coalesce(col("e_c"), lit(0L)) - col("d_c") * col("d_c"))
           .as("q_scaled_4m2"))
   }
+
+  /**
+   * Exact per-community conductance of the partition `member` (vid, comm)
+   * over the UNDIRECTED simple graph: φ(c) = cut(c) / min(vol(c), 2m−vol(c))
+   * (Kannan, Vempala & Vetta, "On clusterings: good, bad and spectral",
+   * JACM 2004), where cut(c) counts undirected edges with exactly one
+   * endpoint in c and vol(c) sums member degrees. Reported integer-exact as
+   * (comm, cut_e, vol, phi_ppm) with phi_ppm = ⌊10⁶·cut / min(vol, 2m−vol)⌋
+   * — integer division on both engines, so no float crosses the compare.
+   * A community holding ALL edge volume (min term 0) reports the −1
+   * sentinel. Overflow envelope: 10⁶·cut needs cut ≤ 9.2e12 — i.e. fine
+   * for communities up to ~10 T cut edges, far beyond per-community volumes
+   * at host-level granularity even on a 100 TB crawl.
+   *
+   * Same 100 TB shape as [[modularity]]: two membership equi-joins against
+   * the canonical undirected set, one degree aggregate, output cardinality
+   * |communities|; the per-edge explode for the cut count is a constant 2×.
+   */
+  def conductance(spark: SparkSession, edges: DataFrame, member: DataFrame): DataFrame = {
+    val und = GraphOps.undirected(edges).localCheckpoint(true)
+    val m   = und.count()
+    val deg = und.select(col("a").as("vid")).unionByName(und.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("deg"))
+    val vol = deg.join(member, Seq("vid"))
+      .groupBy("comm").agg(sum(col("deg")).as("vol"))
+    val ma = member.select(col("vid").as("a"), col("comm").as("ca"))
+    val mb = member.select(col("vid").as("b"), col("comm").as("cb"))
+    // a cut edge leaves BOTH its endpoint communities: one row per side
+    val cut = und.join(ma, Seq("a")).join(mb, Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("comm"))
+      .groupBy("comm").agg(count(lit(1)).as("cut_e"))
+    val minv = least(col("vol"), lit(2L * m) - col("vol"))
+    vol.join(cut, Seq("comm"), "left")
+      .select(col("comm"),
+        coalesce(col("cut_e"), lit(0L)).as("cut_e"),
+        col("vol"),
+        when(minv > 0L,
+          call_function("div", lit(1000000L) * coalesce(col("cut_e"), lit(0L)), minv))
+          .otherwise(lit(-1L)).as("phi_ppm"))
+  }
 }

@@ -489,6 +489,72 @@ object DocGraph {
     sb.toString
   }
 
+  /**
+   * Exactly k Bellman-Ford supersteps of multi-source WEIGHTED single-source
+   * shortest path over DIRECTED edges with the deterministic integer weight
+   * w(u,v) = (u+v) mod 5 + 1 (the [[wprIter]] convention): dist₀ = 0 at the
+   * vid%100 seeds; distᵢ₊₁(v) = min(distᵢ(v), min_{u→v} distᵢ(u) + w(u,v)).
+   * The min-plus semiring generalizes [[bfsIter]]'s hop count (w ≡ 1);
+   * after k supersteps dist(v) is exact over all ≤k-edge paths. Exact
+   * integers; unreached vertices report -1.
+   *
+   * Same scale shape as BFS: no per-superstep driver scalar, lazy
+   * localCheckpoint chain truncates the self-union's plan growth, ONE
+   * materializing action for the whole chain, edge table laid out and
+   * cached once (JobCountSpec pins zero extra driver actions per
+   * superstep).
+   */
+  def ssspIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    ssspIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def ssspIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var dist = verts.select(col("vid"),
+      when(col("vid") % 100 === 0, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
+      .localCheckpoint(false)
+    inter += dist
+    for (_ <- 1 to k) {
+      val msgs = e.join(pin(dist), e("src") === dist("vid"))
+        .filter(col("d").isNotNull)
+        .select(e("dst").as("vid"),
+          (col("d") + (e("src") + e("dst")) % 5L + 1L).as("d"))
+      dist = msgs.unionByName(dist.select(col("vid"), col("d")))
+        .groupBy("vid").agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+      inter += dist
+    }
+    val out = dist.select(col("vid"), coalesce(col("d"), lit(-1L)).as(s"sdist$k"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly k weighted Bellman-Ford supersteps (see [[ssspIter]]). */
+  def ssspIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |s0 AS MATERIALIZED (SELECT vid,
+        |        CASE WHEN vid % 100 = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS d FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      sb.append(s""",
+        |s$i AS MATERIALIZED (SELECT vid, min(d) AS d FROM (
+        |          SELECT e.dst AS vid, s${i - 1}.d + (e.src + e.dst) % 5 + 1 AS d
+        |          FROM edges e JOIN s${i - 1} ON e.src = s${i - 1}.vid
+        |          WHERE s${i - 1}.d IS NOT NULL
+        |          UNION ALL SELECT vid, d FROM s${i - 1}
+        |        ) GROUP BY vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, coalesce(d, -1) AS sdist$k FROM s$k")
+    sb.toString
+  }
+
   /** Injective hash priority for [[misIter]]: v ↦ (v·2654435761 + 17) mod P
     * with P = 1e9+7 prime and the multiplier coprime to P, so the map is a
     * bijection on [0, P) — priorities are UNIQUE for vid < P (doc-graph vids
@@ -662,6 +728,111 @@ object DocGraph {
         |        FROM c$p s LEFT JOIN cw$i w ON s.vid = w.vid)""".stripMargin)
     }
     sb.append(s"\nSELECT vid, color FROM c$k")
+    sb.toString
+  }
+
+  /** Injective per-edge priority for [[matchIter]] on canonical pairs
+    * (a < b): the scalar hash hp = (misPri(a) + (b·40503 + 29) mod P) mod P
+    * CAN collide across edges, so the algorithm's total order is the tuple
+    * (hp, a, b) — unique because (a, b) is. Engine compares it as a struct
+    * min (Spark structs order lexicographically); the oracle replays the
+    * same order via row_number() OVER (ORDER BY hp, a, b). */
+  private def edgePri(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    (misPri(a) + (b * lit(40503L) + lit(29L)) % lit(MisPrime)) % lit(MisPrime)
+
+  /**
+   * Exactly k rounds of derandomized parallel greedy MAXIMAL MATCHING over
+   * the UNDIRECTED doc graph (the Israeli–Itai family, "An improved parallel
+   * algorithm for maximal matching", IPL 1986, derandomized like [[misIter]]):
+   * each round, an edge between two unmatched endpoints joins the matching
+   * iff its (hp, a, b) priority is the minimum among active edges incident
+   * to BOTH endpoints. Winners are vertex-disjoint by construction (two
+   * winners sharing v would both be v's unique incident minimum), so the
+   * update never conflicts; each round strictly shrinks the active edge set
+   * and at fixpoint the matching is maximal. Deterministic, exact-integer.
+   *
+   * Output: (vid, mate) = matched partner vid, or −1 if unmatched after k
+   * rounds. Same lazy-checkpoint chain as [[misIterEdges]]: zero driver
+   * actions per round, ONE materializing action for the whole chain.
+   *
+   * 100 TB shape: per round, two semi-joins restrict the cached canonical
+   * edge set to active×active, one union+groupBy computes the per-vertex
+   * incident minimum (message volume = 2·|active edges|, shrinking), two
+   * equi-joins select winners. No step is super-linear in |E|; state is
+   * O(|V|) and stays shuffle-hash-pinned like every iterative driver here.
+   */
+  def matchIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    matchIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def matchIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val und0 = GraphOps.undirected(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    // layoutForIteration wants (src, dst); partition on the a-side key
+    val (eu, _, parts) = GraphOps.layoutForIteration(
+      und0.select(col("a").as("src"), col("b").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val und = eu.select(col("src").as("a"), col("dst").as("b"))
+    val verts = GraphOps.vertices(eu).repartition(parts, col("vid"))
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var st = verts.select(col("vid"), lit(null).cast("long").as("mate"))
+      .localCheckpoint(false)
+    inter += st
+    for (_ <- 1 to k) {
+      val act = st.filter(col("mate").isNull).select(col("vid"))
+      val ae = und
+        .join(pin(act.select(col("vid").as("a"))), Seq("a"), "left_semi")
+        .join(pin(act.select(col("vid").as("b"))), Seq("b"), "left_semi")
+        .withColumn("pr", struct(edgePri(col("a"), col("b")).as("hp"),
+          col("a").as("pa"), col("b").as("pb")))
+      val vm = ae.select(col("a").as("vid"), col("pr"))
+        .unionByName(ae.select(col("b").as("vid"), col("pr")))
+        .groupBy("vid").agg(min(col("pr")).as("mp"))
+      val win = ae
+        .join(pin(vm.select(col("vid").as("a"), col("mp").as("mpa"))), Seq("a"))
+        .join(pin(vm.select(col("vid").as("b"), col("mp").as("mpb"))), Seq("b"))
+        .filter(col("pr") === col("mpa") && col("pr") === col("mpb"))
+      val newm = win.select(col("a").as("vid"), col("b").as("m2"))
+        .unionByName(win.select(col("b").as("vid"), col("a").as("m2")))
+      st = st.join(pin(newm), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("mate"), col("m2")).as("mate"))
+        .localCheckpoint(false)
+      inter += st
+    }
+    val out = st.select(col("vid"), coalesce(col("mate"), lit(-1L)).as(s"mate$k"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    eu.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for exactly k greedy maximal-matching rounds (see [[matchIter]]). */
+  def matchIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      s""",
+        |mm0 AS MATERIALIZED (SELECT vid, CAST(NULL AS BIGINT) AS mate FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |mae$i AS MATERIALIZED (SELECT u.a, u.b,
+        |        ((u.a*2654435761 + 17) % $MisPrime
+        |         + (u.b*40503 + 29) % $MisPrime) % $MisPrime AS hp
+        |        FROM und u JOIN mm$p sa ON u.a = sa.vid JOIN mm$p sb ON u.b = sb.vid
+        |        WHERE sa.mate IS NULL AND sb.mate IS NULL),
+        |minc$i AS MATERIALIZED (SELECT vid, a, b FROM (
+        |        SELECT vid, a, b, row_number() OVER (PARTITION BY vid ORDER BY hp, a, b) AS rn
+        |        FROM (SELECT a AS vid, hp, a, b FROM mae$i
+        |              UNION ALL SELECT b AS vid, hp, a, b FROM mae$i)) WHERE rn = 1),
+        |mw$i AS MATERIALIZED (SELECT e.a, e.b FROM mae$i e
+        |        JOIN minc$i va ON va.vid = e.a AND va.a = e.a AND va.b = e.b
+        |        JOIN minc$i vb ON vb.vid = e.b AND vb.a = e.a AND vb.b = e.b),
+        |mm$i AS MATERIALIZED (SELECT s.vid, coalesce(s.mate, n.m2) AS mate
+        |        FROM mm$p s LEFT JOIN (SELECT a AS vid, b AS m2 FROM mw$i
+        |                               UNION ALL SELECT b AS vid, a AS m2 FROM mw$i) n
+        |        ON s.vid = n.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, coalesce(mate, -1) AS mate$k FROM mm$k")
     sb.toString
   }
 

@@ -65,6 +65,46 @@ class CommunitiesSpec extends SparkSpec {
     assert(got == want, s"\ngot  $got\nwant $want")
   }
 
+  test("hand-computed conductance of two triangles with a bridge") {
+    // cut edge set = {(2,3)} — one cut edge per side; vol_A = vol_B = 7,
+    // 2m = 14 so min(vol, 2m−vol) = 7; φ_ppm = ⌊10⁶/7⌋ = 142857
+    val rows = Communities.conductance(spark, bridgeEdges, bridgeMember)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(("A", 1L, 7L, 142857L), ("B", 1L, 7L, 142857L)))
+  }
+
+  test("conductance matches a local brute force on a hashed graph") {
+    val edges = (0L until 40L).map(i => (i % 20, (i * 7 + 3) % 20)).toDF("src", "dst")
+    val member = (0L until 20L).map(v => (v, s"c${v % 3}")).toDF("vid", "comm")
+    val got = Communities.conductance(spark, edges, member)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val und = graph.GraphOps.undirected(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = und.size.toLong
+    val comm = (0L until 20L).map(v => v -> s"c${v % 3}").toMap
+    val deg = und.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val vol = deg.toSeq.groupBy { case (v, _) => comm(v) }
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val cut = und.toSeq.filter { case (a, b) => comm(a) != comm(b) }
+      .flatMap { case (a, b) => Seq(comm(a), comm(b)) }
+      .groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val want = vol.map { case (c, v) =>
+      val cu = cut.getOrElse(c, 0L)
+      val mn = math.min(v, 2 * m - v)
+      (c, cu, v, if (mn > 0) 1000000L * cu / mn else -1L)
+    }.toSet
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
+  test("conductance sentinel: a single community holding all volume reports -1") {
+    val member1 = (0L to 5L).map(v => (v, "ALL")).toDF("vid", "comm")
+    val rows = Communities.conductance(spark, bridgeEdges, member1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("ALL", 0L, 14L, -1L)))
+  }
+
   test("contract keeps the diagonal and counts directed links") {
     val got = Communities.contract(bridgeEdges, bridgeMember)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet

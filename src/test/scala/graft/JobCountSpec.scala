@@ -96,11 +96,25 @@ class JobCountSpec extends SparkSpec {
     assert(j8 - j4 == 0, s"expected a k-independent job count, got j4=$j4 j8=$j8")
   }
 
+  test("weighted SSSP: zero extra jobs per superstep (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j4 = jobsDuring { operators.DocGraph.ssspIterEdges(noAqe, e, 4).count() }
+    val j8 = jobsDuring { operators.DocGraph.ssspIterEdges(noAqe, e, 8).count() }
+    assert(j8 - j4 == 0, s"expected a k-independent job count, got j4=$j4 j8=$j8")
+  }
+
   test("weighted PageRank: exactly one job per extra superstep") {
     val e = pathEdges(noAqe)
     val j3 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 3, broadcastMaxRows = 0L).count() }
     val j6 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 6, broadcastMaxRows = 0L).count() }
     assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+  }
+
+  test("greedy matching: zero extra jobs per round (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j2 = jobsDuring { operators.DocGraph.matchIterEdges(noAqe, e, 2).count() }
+    val j5 = jobsDuring { operators.DocGraph.matchIterEdges(noAqe, e, 5).count() }
+    assert(j5 - j2 == 0, s"expected a round-independent job count, got j2=$j2 j5=$j5")
   }
 
   test("Luby MIS: zero extra jobs per round (lazy chain, one materializing action)") {

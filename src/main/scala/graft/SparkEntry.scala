@@ -197,6 +197,8 @@ object SparkEntry {
     // weighted Bellman-Ford SSSP, 4 supersteps, w(u,v) = (u+v)%5+1 —
     // the min-plus semiring generalization of BFS (exact integers)
     "q_sssp_iter4" -> ((s, d) => DocGraph.ssspIter(s, d, 4)),
+    // truncated Katz centrality, α=1/8 scaled by 8³ to exact BIGINTs
+    "q_katz_iter3" -> ((s, d) => DocGraph.katzIter(s, d, 3)),
     // 2 SALSA iterations (degree-normalized HITS — the third classical
     // link-analysis scorer beside PageRank and HITS)
     "q_salsa_iter2" -> ((s, d) => DocGraph.salsaIter(s, d, 2)),
@@ -667,6 +669,13 @@ object SparkEntry {
           call_function("div", col("inter") * lit(1000000L),
             col("sza") + col("szb") - col("inter")).as("jaccard_ppm"))
     }),
+
+    // benchmark decontamination (GPT-3 App. C n-gram overlap): docs sharing
+    // ≥1 word-3-gram shingle with the doc_id%100==0 "benchmark" set
+    "q_decontaminate" -> ((s, d) =>
+      Dedup.contamination(docs(s, d).select(col("doc_id"), col("text")),
+          col("doc_id") % 100 === 0, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
 
     // near-dup cluster election — the step after pair finding in a real
     // dedup pipeline: exact-Jaccard pairs ≥ 0.8% form an undirected
@@ -1430,6 +1439,7 @@ object SparkEntry {
     "q_hits_iter2" -> DocGraph.hitsIterSql(2),
     "q_bfs_iter4" -> DocGraph.bfsIterSql(4),
     "q_sssp_iter4" -> DocGraph.ssspIterSql(4),
+    "q_katz_iter3" -> DocGraph.katzIterSql(3),
     "q_salsa_iter2" -> DocGraph.salsaIterSql(2),
     "q_mis_iter3" -> DocGraph.misIterSql(3),
     "q_color_iter4" -> DocGraph.colorIterSql(4),
@@ -1854,6 +1864,22 @@ object SparkEntry {
         |LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
         |JOIN sz za ON za.doc_id = c.a
         |JOIN sz zb ON zb.doc_id = c.b""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk)-2, 1)),
+        |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM corp GROUP BY doc_id),
+        |hits AS (SELECT c.doc_id, count(*) AS n_shared
+        |         FROM corp c JOIN bsh USING (s) GROUP BY c.doc_id)
+        |SELECT h.doc_id, h.n_shared, sz.n_sh,
+        |  CAST((h.n_shared*1000000) // sz.n_sh AS BIGINT) AS ppm
+        |FROM hits h JOIN sz USING (doc_id)""".stripMargin,
 
     // cluster_id = min doc_id reachable in the undirected similarity graph
     // (recursive closure ground truth — algorithm-independent, same

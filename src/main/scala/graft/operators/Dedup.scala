@@ -102,6 +102,36 @@ object Dedup {
         coalesce(col("n_inter"), lit(0L)).as("inter"), col("sza"), col("szb"))
   }
 
+  /**
+   * Benchmark decontamination scan (the n-gram overlap check of Brown et
+   * al., "Language models are few-shot learners", NeurIPS 2020, App. C —
+   * training documents sharing k-gram shingles with an evaluation set must
+   * be flagged before training): for every corpus document NOT in the
+   * benchmark set, count its distinct k-token shingles that appear anywhere
+   * in the benchmark's shingle union. Emits only contaminated docs
+   * (n_shared ≥ 1): (id, n_shared, n_sh, ppm = ⌊10⁶·n_shared/n_sh⌋).
+   *
+   * 100 TB shape: the benchmark union is tiny relative to the corpus
+   * (eval suites are fixed-size), so the semi-join of exploded corpus
+   * shingles against it broadcasts — the corpus is read once, never
+   * self-joined, and the only full-size shuffle is the per-doc groupBy.
+   * Shingles compare as xxhash64 values, same convention as
+   * [[jaccardCounts]].
+   */
+  def contamination(docs: DataFrame, isBenchmark: Column,
+                    idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
+        explode(shingleHashes(col(textCol), k)).as("s"))
+    val benchSh = sh.filter(col("bench")).select(col("s")).distinct()
+    val corp = sh.filter(!col("bench"))
+    val sizes = corp.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    corp.join(benchSh, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("id"))
+      .select(col("id"), col("n_shared"), col("n_sh"),
+        call_function("div", col("n_shared") * lit(1000000L), col("n_sh")).as("ppm"))
+  }
+
   /** Exact n-gram Jaccard for candidate pairs (a, b) — see [[jaccardCounts]]. */
   def jaccardOnCandidates(docs: DataFrame, candidates: DataFrame,
                           idCol: String, textCol: String, k: Int = 3): DataFrame =

@@ -555,6 +555,72 @@ object DocGraph {
     sb.toString
   }
 
+  /**
+   * Truncated Katz centrality (Katz, "A new status index derived from
+   * sociometric analysis", Psychometrika 1953) with attenuation α = 1/8,
+   * cut at k hops and scaled by 8^k so every quantity is an exact BIGINT:
+   * katz_k(v)·8^k = Σ_{i=1..k} walks_i(v) · 8^{k-i}, where walks_i(v) is
+   * the number of directed length-i walks ending at v. Computed by the
+   * recurrence acc_i = 8·acc_{i-1} + w_i with w_i(v) = Σ_{u→v} w_{i-1}(u),
+   * w_0 ≡ 1 — one edges⋈state join + aggregate per superstep, zero driver
+   * actions (lazy chain like [[bfsIter]]).
+   *
+   * Overflow envelope: walks_i ≤ (max in-degree)^i, so at k = 3 a vertex
+   * fed by three consecutive 10⁶-degree hubs reaches ~10¹⁸ — the BIGINT
+   * edge. This integer form is the small-k verification path; large-k /
+   * web-hub Katz belongs in floats (same division of labor as
+   * [[graft.operators.Neighborhood.harmonic]] vs hyperBall).
+   */
+  def katzIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    katzIterEdges(spark, edges(spark, sfDir), k)
+
+  private[graft] def katzIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    val (e, _, parts) = GraphOps.layoutForIteration(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var st = verts.select(col("vid"), lit(1L).as("w"), lit(0L).as("acc"))
+      .localCheckpoint(false)
+    inter += st
+    for (_ <- 1 to k) {
+      val msgs = e.join(pin(st), e("src") === st("vid"))
+        .select(e("dst").as("vid"), col("w"))
+        .groupBy("vid").agg(sum(col("w")).as("wn"))
+      st = st.join(pin(msgs), Seq("vid"), "left")
+        .select(col("vid"),
+          coalesce(col("wn"), lit(0L)).as("w"),
+          (col("acc") * 8L + coalesce(col("wn"), lit(0L))).as("acc"))
+        .localCheckpoint(false)
+      inter += st
+    }
+    val out = st.select(col("vid"), col("acc").as(s"katz${k}s")).localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false)
+    out
+  }
+
+  /** Oracle SQL for k truncated-Katz supersteps (see [[katzIter]]). */
+  def katzIterSql(k: Int): String = {
+    val sb = new StringBuilder(graphCtes)
+    sb.append(
+      """,
+        |k0 AS MATERIALIZED (SELECT vid, CAST(1 AS BIGINT) AS w,
+        |        CAST(0 AS BIGINT) AS acc FROM verts)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |kw$i AS MATERIALIZED (SELECT e.dst AS vid, sum(s.w) AS wn
+        |        FROM edges e JOIN k$p s ON e.src = s.vid GROUP BY e.dst),
+        |k$i AS MATERIALIZED (SELECT s.vid, CAST(coalesce(w.wn, 0) AS BIGINT) AS w,
+        |        CAST(s.acc*8 + coalesce(w.wn, 0) AS BIGINT) AS acc
+        |        FROM k$p s LEFT JOIN kw$i w ON s.vid = w.vid)""".stripMargin)
+    }
+    sb.append(s"\nSELECT vid, acc AS katz${k}s FROM k$k")
+    sb.toString
+  }
+
   /** Injective hash priority for [[misIter]]: v ↦ (v·2654435761 + 17) mod P
     * with P = 1e9+7 prime and the multiplier coprime to P, so the map is a
     * bijection on [0, P) — priorities are UNIQUE for vid < P (doc-graph vids

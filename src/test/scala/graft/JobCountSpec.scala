@@ -103,6 +103,13 @@ class JobCountSpec extends SparkSpec {
     assert(j8 - j4 == 0, s"expected a k-independent job count, got j4=$j4 j8=$j8")
   }
 
+  test("truncated Katz: zero extra jobs per superstep (lazy chain, one materializing action)") {
+    val e = pathEdges(noAqe)
+    val j3 = jobsDuring { operators.DocGraph.katzIterEdges(noAqe, e, 3).count() }
+    val j6 = jobsDuring { operators.DocGraph.katzIterEdges(noAqe, e, 6).count() }
+    assert(j6 - j3 == 0, s"expected a k-independent job count, got j3=$j3 j6=$j6")
+  }
+
   test("weighted PageRank: exactly one job per extra superstep") {
     val e = pathEdges(noAqe)
     val j3 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 3, broadcastMaxRows = 0L).count() }

@@ -333,6 +333,21 @@ object SparkEntry {
     "q_triangles_per_vertex" -> ((s, d) =>
       Triangles.perVertex(s, DocGraph.edges(s, d))),
 
+    // per-vertex LOCAL clustering coefficient (Watts–Strogatz 1998) in
+    // integer ppm: 2·t(v) / (deg(v)·(deg(v)−1)) over the undirected simple
+    // graph, vertices with deg ≥ 2 only (denominator > 0)
+    "q_lcc" -> ((s, d) => {
+      val und = GraphOps.undirected(DocGraph.edges(s, d))
+      val deg = und.select(col("a").as("vid")).unionByName(und.select(col("b").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("deg"))
+      val t = Triangles.perVertex(s, DocGraph.edges(s, d))
+      deg.filter(col("deg") >= 2)
+        .join(t, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("tri"), col("deg"),
+          call_function("div", coalesce(col("triangles"), lit(0L)) * lit(2000000L),
+            col("deg") * (col("deg") - 1L)).as("lcc_ppm"))
+    }),
+
     // common-neighbor link prediction (non-adjacent pairs, cn >= 2, hub
     // centers capped at deg 64) — exact integer counts + Jaccard ppm
     "q_link_pred" -> ((s, d) =>
@@ -361,6 +376,9 @@ object SparkEntry {
     // reachability ground truth, not from the engine's iteration schedule
     "q_scc" -> ((s, d) => StronglyConnectedComponents.run(s, DocGraph.edges(s, d),
       verbose = sys.env.contains("GRAFT_SCC_VERBOSE"))),
+    // topological layers of the SCC condensation (web-bowtie depth): layer =
+    // longest ≤6-edge condensation path ending at the vertex's component
+    "q_topo_iter6" -> ((s, d) => Condensation.topoLayers(s, DocGraph.edges(s, d), 6)),
     // alternating large-star/small-star (O(log n) rounds) — same fixpoint,
     // same oracle as q_cc
     "q_cc_alt" -> ((s, d) => ConnectedComponents.runAlternating(s, DocGraph.edges(s, d))),
@@ -1582,6 +1600,19 @@ object SparkEntry {
          |  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
          |GROUP BY vid""".stripMargin,
 
+    "q_lcc" ->
+      s"""$G, tri AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |tcnt AS (SELECT vid, count(*) AS tri FROM (
+         |  SELECT x AS vid FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY vid),
+         |dg AS (SELECT vid, count(*) AS deg FROM (
+         |  SELECT a AS vid FROM und UNION ALL SELECT b AS vid FROM und) GROUP BY vid)
+         |SELECT d.vid, CAST(coalesce(t.tri, 0) AS BIGINT) AS tri, d.deg,
+         |  CAST((coalesce(t.tri, 0)*2000000) // (d.deg*(d.deg-1)) AS BIGINT) AS lcc_ppm
+         |FROM dg d LEFT JOIN tcnt t USING (vid) WHERE d.deg >= 2""".stripMargin,
+
     // SCC ground truth: v's SCC = {v} ∪ {u : v→u ∧ u→v} over the transitive
     // closure; scc_id = the set's minimum. UNION (not UNION ALL) keeps the
     // recursive closure deduplicated per step.
@@ -1600,6 +1631,8 @@ object SparkEntry {
           |  GROUP BY r1.s)
           |SELECT v.vid, CAST(least(v.vid, coalesce(mn.m, v.vid)) AS BIGINT) AS scc_id
           |FROM verts v LEFT JOIN mn ON mn.u = v.vid""".stripMargin),
+
+    "q_topo_iter6" -> Condensation.topoLayersSql(DocGraph.edgesCte, 6),
 
     "q_link_pred" ->
       s"""$G,

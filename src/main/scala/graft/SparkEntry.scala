@@ -379,6 +379,9 @@ object SparkEntry {
     // topological layers of the SCC condensation (web-bowtie depth): layer =
     // longest ≤6-edge condensation path ending at the vertex's component
     "q_topo_iter6" -> ((s, d) => Condensation.topoLayers(s, DocGraph.edges(s, d), 6)),
+    // 3 Weisfeiler-Leman refinement rounds: dense structural colors —
+    // same color ⇒ locally indistinguishable link shape (template pages)
+    "q_wl_iter3" -> ((s, d) => WlRefine.refine(s, DocGraph.edges(s, d), 3)),
     // alternating large-star/small-star (O(log n) rounds) — same fixpoint,
     // same oracle as q_cc
     "q_cc_alt" -> ((s, d) => ConnectedComponents.runAlternating(s, DocGraph.edges(s, d))),
@@ -1096,6 +1099,27 @@ object SparkEntry {
     // lag-window event gaps: per-user max inter-event gap + count of >1h
     // gaps, in exact µs (single-event users: max gap −1 sentinel, not NULL —
     // the driver hash can't carry integer NULLs)
+    // event-type transition matrix (first-order Markov counts): (prev_type,
+    // type) pairs over each user's (ts, event_id)-ordered stream — the
+    // sequence-mining companion to q_funnel; per-user window, exact integers
+    "q_event_transitions" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_type"), col("next_type"), col("n"))
+    }),
+
+    // PageRank mass per source community: vertex e7-floored fixed-2 ranks
+    // summed per source — floor-then-sum keeps the compare exact-integer
+    "q_source_rank" -> ((s, d) =>
+      DocGraph.prIter(s, d, 2)
+        .join(docs(s, d).select(col("doc_id").as("vid"), col("source")), Seq("vid"))
+        .groupBy("source").agg(sum(col("pr2e7")).as("mass_e7"), count(lit(1)).as("n_docs"))),
+
     "q_event_deltas" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -1633,6 +1657,7 @@ object SparkEntry {
           |FROM verts v LEFT JOIN mn ON mn.u = v.vid""".stripMargin),
 
     "q_topo_iter6" -> Condensation.topoLayersSql(DocGraph.edgesCte, 6),
+    "q_wl_iter3" -> WlRefine.refineSql(DocGraph.graphCtes, 3),
 
     "q_link_pred" ->
       s"""$G,
@@ -2199,6 +2224,22 @@ object SparkEntry {
         |       coalesce(max(gap), -1) AS max_gap_us,
         |       CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_1h
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH g AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM g WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin,
+
+    "q_source_rank" ->
+      (s"""SELECT d.source, CAST(sum(r.pr2e7) AS BIGINT) AS mass_e7,
+          |       count(*) AS n_docs
+          |FROM (${DocGraph.prIterSql(2)}) r
+          |JOIN documents d ON r.vid = d.doc_id
+          |GROUP BY d.source""".stripMargin),
 
     // the same changeset algebra in set SQL: base minus changed keys, plus
     // the update and insert images

@@ -337,10 +337,11 @@ object SparkEntry {
     // integer ppm: 2·t(v) / (deg(v)·(deg(v)−1)) over the undirected simple
     // graph, vertices with deg ≥ 2 only (denominator > 0)
     "q_lcc" -> ((s, d) => {
-      val und = GraphOps.undirected(DocGraph.edges(s, d))
+      val e = DocGraph.edges(s, d)
+      val und = GraphOps.undirected(e)
       val deg = und.select(col("a").as("vid")).unionByName(und.select(col("b").as("vid")))
         .groupBy("vid").agg(count(lit(1)).as("deg"))
-      val t = Triangles.perVertex(s, DocGraph.edges(s, d))
+      val t = Triangles.perVertex(s, e)
       deg.filter(col("deg") >= 2)
         .join(t, Seq("vid"), "left")
         .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("tri"), col("deg"),
@@ -1096,9 +1097,6 @@ object SparkEntry {
       .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources_csv"),
         count(lit(1)).as("n_docs"))),
 
-    // lag-window event gaps: per-user max inter-event gap + count of >1h
-    // gaps, in exact µs (single-event users: max gap −1 sentinel, not NULL —
-    // the driver hash can't carry integer NULLs)
     // event-type transition matrix (first-order Markov counts): (prev_type,
     // type) pairs over each user's (ts, event_id)-ordered stream — the
     // sequence-mining companion to q_funnel; per-user window, exact integers
@@ -1120,6 +1118,9 @@ object SparkEntry {
         .join(docs(s, d).select(col("doc_id").as("vid"), col("source")), Seq("vid"))
         .groupBy("source").agg(sum(col("pr2e7")).as("mass_e7"), count(lit(1)).as("n_docs"))),
 
+    // lag-window event gaps: per-user max inter-event gap + count of >1h
+    // gaps, in exact µs (single-event users: max gap −1 sentinel, not NULL —
+    // the driver hash can't carry integer NULLs)
     "q_event_deltas" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -2284,9 +2285,12 @@ object SparkEntry {
         |        FROM orders WHERE o_orderkey % 91 = 0 AND o_orderkey % 97 <> 0),
         |oins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
         |        FROM orders WHERE o_orderkey % 89 = 0),
+        |ochk AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL SELECT o_orderkey FROM oupd
+        |  UNION ALL SELECT o_orderkey FROM oins),
         |o2 AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |  WHERE o_orderkey % 97 <> 0 AND o_orderkey % 91 <> 0
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ochk)
         |  UNION ALL SELECT * FROM oupd
         |  UNION ALL SELECT * FROM oins),
         |c2 AS (

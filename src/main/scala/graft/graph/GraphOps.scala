@@ -248,14 +248,11 @@ object GraphOps {
     val und = undirected(edges)
     val sym = symmetrized(edges)
     val deg = sym.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
-    val okCenter = deg.filter(col("deg") <= maxHubDegree).select(col("vid").as("z"))
-    val capped = sym.select(col("src").as("z"), col("dst").as("n"))
-      .join(okCenter, Seq("z"), "left_semi")
-    val cand = capped.select(col("z"), col("n").as("x"))
-      .join(capped.select(col("z"), col("n").as("y")), Seq("z"))
-      .filter(col("x") < col("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
-      .filter(col("cn") >= minCommon)
+    // the capped common-center pair count is the same self-join co-citation
+    // and coupling share — one implementation, no drift
+    val cand = pairsByCenter(sym.select(col("src").as("z"), col("dst").as("n")),
+        minCommon, maxHubDegree, "cn")
+      .select(col("a").as("x"), col("b").as("y"), col("cn"))
     val nonAdj = cand.join(und,
       cand("x") === und("a") && cand("y") === und("b"), "left_anti")
     nonAdj

@@ -129,6 +129,32 @@ object EventStream {
       .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
   }
 
+  /**
+   * LEFT OUTER stream-stream join: every error row emits — matched errors as
+   * soon as both sides arrive, UNMATCHED errors only when the watermark
+   * passes their join window (outer emission is watermark-DRIVEN, not
+   * end-of-stream-driven: an error younger than max-event-time − watermark
+   * is still buffered when the stream idles, and its outer row is withheld —
+   * StreamingSpec pins exactly that). Unmatched click_id → −1 sentinel.
+   */
+  def clicksBeforeErrorsOuter(errors: DataFrame, clicks: DataFrame,
+                              watermark: String = "1 hour",
+                              windowSql: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val e = errors.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    val c = clicks.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    e.join(c, col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr(windowSql) && col("c_ts") < col("e_ts"),
+        "leftOuter")
+      .select(col("error_id"), coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        col("e_user").as("user_id"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink; return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
                   outputMode: String = "append"): DataFrame = {

@@ -108,6 +108,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == want && got.nonEmpty, s"stream ${got.size} vs batch ${want.size} pairs")
   }
 
+  test("left-outer stream-stream join: outer rows emit on watermark passage, young state is withheld") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream-louter").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, String)], modMs: Long): Unit = {
+      val before = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+      new java.io.File(dir).listFiles().foreach { f =>
+        if (!before(f.getName) && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          Files.setLastModifiedTime(f.toPath,
+            java.nio.file.attribute.FileTime.fromMillis(modMs))
+      }
+    }
+    // batch 1: clicks (one matching, one orphan); batch 2: three errors;
+    // batch 3: a far-future sentinel error that drives the watermark past
+    // every real error's join window; batch 4: a far-future orphan click —
+    // outer rows are emitted by the batch that RUNS AFTER the watermark
+    // passed (measured: a trailing no-data batch does not flush them here),
+    // so batch 4 is the flush vehicle. The sentinel error stays YOUNGER
+    // than every watermark any batch ran with, so its outer row must be
+    // withheld at stream end — pinning that outer emission is
+    // watermark-driven, never end-of-stream-driven.
+    writeBatch(Seq((101L, ts("2024-01-01 09:30:00"), 1L, "click"),
+                   (102L, ts("2024-01-01 09:00:00"), 4L, "click")), 10000000L)
+    writeBatch(Seq((1L, ts("2024-01-01 10:00:00"), 1L, "error"),
+                   (2L, ts("2024-01-01 10:00:00"), 2L, "error"),
+                   (3L, ts("2024-01-01 20:00:00"), 3L, "error")), 20000000L)
+    writeBatch(Seq((9L, ts("2024-01-11 10:00:00"), 99L, "error")), 30000000L)
+    writeBatch(Seq((103L, ts("2024-01-21 10:00:00"), 77L, "click")), 40000000L)
+    val schema = spark.read.parquet(dir).schema
+    def stream(tpe: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .filter(col("event_type") === tpe)
+    val got = EventStream.runToMemory(spark,
+        EventStream.clicksBeforeErrorsOuter(stream("error"), stream("click")),
+        "ssj_louter", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 101L), (2L, -1L), (3L, -1L)),
+      s"expected matched user1 + two watermark-expired outer rows, sentinel withheld; got $got")
+  }
+
   test("session windows produce per-user sessions with positive event counts") {
     val schema   = EventStream.eventsSchema(spark, path)
     val sessions = EventStream.runToMemory(spark,

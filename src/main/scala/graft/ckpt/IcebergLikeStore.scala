@@ -155,6 +155,25 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
     meta
   }
 
+  /**
+   * Small-file compaction: rewrite the CURRENT snapshot's rows into
+   * `targetFiles` files and commit them as a NEW snapshot, carrying the
+   * iter/metrics lineage forward. Compaction is a lineage EVENT, not a
+   * history rewrite — time travel to the pre-compaction snapshot keeps
+   * working, and the parent pointer records what was compacted. This is
+   * the operational answer to superstep checkpoints accreting
+   * one-file-per-partition at high widths (the classic lakehouse
+   * small-file problem — cf. Iceberg's rewrite_data_files): readers of the
+   * compacted snapshot open `targetFiles` handles instead of hundreds.
+   */
+  def compact(table: String, targetFiles: Int): SnapshotMeta = {
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    val cur = currentSnapshot(table)
+      .getOrElse(throw new IllegalStateException(s"no snapshot to compact for $table"))
+    commit(table, spark.read.parquet(cur.dataDir).repartition(targetFiles),
+      cur.iter, cur.metrics)
+  }
+
   /** Read the current snapshot of a table (or a specific snapshot id — time travel). */
   def read(table: String, snapshotId: Option[Long] = None): DataFrame = {
     val meta = snapshotId.map(snapshotMeta(table, _))

@@ -30,6 +30,27 @@ class StoreResumeSpec extends SparkSpec {
     assert(hist.head.files.nonEmpty)
   }
 
+  test("compaction rewrites files, preserves rows, and keeps time travel intact") {
+    val root  = Files.createTempDirectory("graft-store-compact").toString
+    val store = new IcebergLikeStore(spark, root)
+    val rows  = (1L to 200L).map(i => (i, s"v$i"))
+    store.commit("t", rows.toDF("id", "v").repartition(16)) // 16 small files
+    val before = store.currentSnapshot("t").get
+    assert(before.files.size == 16, s"fixture expected 16 files, got ${before.files.size}")
+
+    val after = store.compact("t", targetFiles = 2)
+    assert(after.parentId == before.snapshotId && after.snapshotId == before.snapshotId + 1)
+    assert(after.files.size == 2, s"compacted to ${after.files.size} files, wanted 2")
+    // same logical rows, exactly
+    def rowSet(id: Option[Long]) =
+      store.read("t", id).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowSet(None) == rows.toSet)
+    // time travel to the pre-compaction snapshot still works (lineage event,
+    // not history rewrite)
+    assert(rowSet(Some(before.snapshotId)) == rows.toSet)
+    assert(store.history("t").map(_.snapshotId) == Seq(after.snapshotId, before.snapshotId))
+  }
+
   test("v1 (legacy) manifests load tolerantly and stay resumable") {
     // Round-2 changed the manifest schema (files: strings → FileMeta,
     // IterMetrics gained partStats). A checkpoint root written by the old

@@ -117,6 +117,59 @@ object SparkEntry {
   private def li(s: SparkSession, dir: String)     = s.read.parquet(s"$dir/lineitem.parquet")
   private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
   private def cust(s: SparkSession, dir: String)   = s.read.parquet(s"$dir/customer.parquet")
+
+  /** Oracle CTE prefix matching [[dupClusters]]: pair graph at ppm ≥ 8000
+    * over the ±3-offset band, recursive closure, min reachable id. */
+  private val dupClusterCtes: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(tk)-2, 1)),
+      |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+      |         FROM documents a
+      |         JOIN (SELECT unnest([1,2,3]) AS k) ks ON true
+      |         JOIN documents b ON b.doc_id = a.doc_id + ks.k),
+      |ix AS (SELECT c.a, c.b, count(*) AS n FROM cand c
+      |       JOIN sh sa ON sa.doc_id = c.a
+      |       JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
+      |       GROUP BY c.a, c.b),
+      |pairs AS MATERIALIZED (
+      |  SELECT c.a, c.b FROM cand c
+      |  LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
+      |  JOIN sz za ON za.doc_id = c.a
+      |  JOIN sz zb ON zb.doc_id = c.b
+      |  WHERE (coalesce(ix.n,0)*1000000) // (za.n + zb.n - coalesce(ix.n,0)) >= 8000),
+      |se AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT s, t FROM se
+      |          UNION SELECT r.s, e.t FROM reach r JOIN se e ON e.s = r.t),
+      |mn AS MATERIALIZED (SELECT s, min(t) AS m FROM reach GROUP BY s)""".stripMargin
+
+  /** Near-dup cluster election shared by q_dup_clusters / q_corpus_kept:
+    * exact-Jaccard pairs at ppm ≥ 8000 over the ±3-offset candidate band →
+    * connected components → min-id representative. (doc_id, cluster_id,
+    * is_rep); singletons self-represent. */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(col("doc_id"), col("text"))
+    val cand = dd.select(col("doc_id").as("a"))
+      .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(col("a"), (col("a") + col("k")).as("b"))
+      .join(dd.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    val pairs = Dedup.jaccardCounts(dd, cand, "doc_id", "text")
+      .select(col("a"), col("b"),
+        call_function("div", col("inter") * lit(1000000L),
+          col("sza") + col("szb") - col("inter")).as("ppm"))
+      .filter(col("ppm") >= 8000L)
+    val cc = ConnectedComponents.run(s,
+      pairs.select(col("a").as("src"), col("b").as("dst")))
+    docs(s, d).select(col("doc_id"))
+      .join(cc.withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_rep", col("doc_id") === col("cluster_id"))
+  }
   private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
 
   /** Flagship: full PageRank over the deterministic doc-derived link graph at sf0.001. */
@@ -731,25 +784,17 @@ object SparkEntry {
     // cluster representative, singletons represent themselves. Composes
     // Dedup.jaccardCounts with ConnectedComponents.run — the same CC engine
     // the link graph uses, over a derived edge set.
-    "q_dup_clusters" -> ((s, d) => {
-      val dd = docs(s, d).select(col("doc_id"), col("text"))
-      val cand = dd.select(col("doc_id").as("a"))
-        .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
-        .select(col("a"), (col("a") + col("k")).as("b"))
-        .join(dd.select(col("doc_id").as("b")), Seq("b"), "left_semi")
-      val pairs = Dedup.jaccardCounts(dd, cand, "doc_id", "text")
-        .select(col("a"), col("b"),
-          call_function("div", col("inter") * lit(1000000L),
-            col("sza") + col("szb") - col("inter")).as("ppm"))
-        .filter(col("ppm") >= 8000L)
-      val cc = ConnectedComponents.run(s,
-        pairs.select(col("a").as("src"), col("b").as("dst")))
-      docs(s, d).select(col("doc_id"))
-        .join(cc.withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"))
-        .withColumn("is_rep", col("doc_id") === col("cluster_id"))
-    }),
+    "q_dup_clusters" -> ((s, d) => dupClusters(s, d)),
+
+    // the dedup pipeline's END STEP: per-lang corpus size after keeping one
+    // representative per near-dup cluster — what a training run actually
+    // materializes from the cluster election
+    "q_corpus_kept" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .join(dupClusters(s, d).select(col("doc_id"), col("is_rep")), Seq("doc_id"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_rep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("n_dropped", col("n_docs") - col("n_kept"))),
 
     "q_ann_cosine" -> ((s, d) => {
       val e = emb(s, d)
@@ -1986,35 +2031,21 @@ object SparkEntry {
     // (recursive closure ground truth — algorithm-independent, same
     // convention as q_scc); unmatched docs are their own cluster
     "q_dup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, greatest(len(tk)-2, 1)),
-        |    i -> array_to_string(tk[i:i+2], ' ')))) AS s
-        |  FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS a, b.doc_id AS b
-        |         FROM documents a
-        |         JOIN (SELECT unnest([1,2,3]) AS k) ks ON true
-        |         JOIN documents b ON b.doc_id = a.doc_id + ks.k),
-        |ix AS (SELECT c.a, c.b, count(*) AS n FROM cand c
-        |       JOIN sh sa ON sa.doc_id = c.a
-        |       JOIN sh sb ON sb.doc_id = c.b AND sa.s = sb.s
-        |       GROUP BY c.a, c.b),
-        |pairs AS MATERIALIZED (
-        |  SELECT c.a, c.b FROM cand c
-        |  LEFT JOIN ix ON ix.a = c.a AND ix.b = c.b
-        |  JOIN sz za ON za.doc_id = c.a
-        |  JOIN sz zb ON zb.doc_id = c.b
-        |  WHERE (coalesce(ix.n,0)*1000000) // (za.n + zb.n - coalesce(ix.n,0)) >= 8000),
-        |se AS MATERIALIZED (SELECT a AS s, b AS t FROM pairs UNION SELECT b, a FROM pairs),
-        |reach AS (SELECT s, t FROM se
-        |          UNION SELECT r.s, e.t FROM reach r JOIN se e ON e.s = r.t),
-        |mn AS MATERIALIZED (SELECT s, min(t) AS m FROM reach GROUP BY s)
+      (dupClusterCtes + """
         |SELECT d.doc_id,
         |       CAST(least(d.doc_id, coalesce(mn.m, d.doc_id)) AS BIGINT) AS cluster_id,
         |       d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id)) AS is_rep
-        |FROM documents d LEFT JOIN mn ON mn.s = d.doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN mn ON mn.s = d.doc_id""".stripMargin),
+
+    "q_corpus_kept" ->
+      (dupClusterCtes + """
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  count(*) - CAST(sum(CASE WHEN d.doc_id = least(d.doc_id, coalesce(mn.m, d.doc_id))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM documents d LEFT JOIN mn ON mn.s = d.doc_id
+        |GROUP BY d.lang""".stripMargin),
 
     // recall gates: the oracle is the FULL planted-twin list — any pair the
     // probabilistic path misses (or misranks, for the ANN gate) is a row

@@ -336,25 +336,18 @@ object SparkEntry {
     // curve behind effective-diameter estimates (Boldi–Rosa–Vigna HyperBall,
     // WSDM 2011): exact anchor + HLL-sum gate at t ≤ 3, estimate-only at
     // t = 4 (the radius where exact materialization is the thing HyperBall
-    // exists to avoid). Measured sum-level rel err 0.83/3.9/7.8 % at
-    // t = 1/2/3 (m=64 raw-HLL small-range bias grows with per-vertex ball
-    // size; systematic, so the sum doesn't cancel it — and deterministic,
-    // so the 0.10 gate is stable, not statistical). One row per radius;
-    // oracle emits the exact anchors + TRUE.
+    // exists to avoid). Measured sum-level rel err: 0.83/3.9/7.8 % at
+    // t = 1/2/3 on the 500-doc graph (sf0.001/sf0.01 — the driver's
+    // compare scale) and 0.58/1.1/2.2 % on the 5000-doc graph (sf0.1):
+    // the per-vertex m=64 error partially cancels in the sum as |V| grows,
+    // so the small-|V| 7.8 % is the worst case and the 0.10 gate is safe
+    // in both directions — and HLL is deterministic, so the margin covers
+    // nothing stochastic. One row per radius; oracle emits the exact
+    // anchors + TRUE.
     "q_nf_hb" -> ((s, d) => {
       val e = DocGraph.edges(s, d)
-      val v = GraphOps.vertices(e)
-      val gated = (1 to 3).map { t =>
-        operators.Neighborhood.exactBall(v, e, t)
-          .join(operators.Neighborhood.hyperBall(v, e, t), "vid")
-          .agg(lit(t.toLong).as("t"), sum(col("ball")).as("nf_exact"),
-            (abs(sum(col("est")) - sum(col("ball"))).cast("double") / sum(col("ball"))
-              < lit(0.10)).as("gate_ok"))
-      }
-      val est4 = operators.Neighborhood.hyperBall(v, e, 4)
-        .agg(lit(4L).as("t"), lit(-1L).as("nf_exact"),
-          (sum(col("est")) > 0L).as("gate_ok"))
-      gated.reduce(_ unionByName _).unionByName(est4)
+      operators.Neighborhood.nfCurve(GraphOps.vertices(e), e,
+        kExact = 3, k = 4, tol = 0.10)
     }),
 
     // Newman degree-assortativity building blocks (Newman 2002): per edge

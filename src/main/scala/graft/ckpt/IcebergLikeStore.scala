@@ -170,7 +170,7 @@ class IcebergLikeStore(spark: SparkSession, root: String) {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     val cur = currentSnapshot(table)
       .getOrElse(throw new IllegalStateException(s"no snapshot to compact for $table"))
-    commit(table, spark.read.parquet(cur.dataDir).repartition(targetFiles),
+    commit(table, read(table, Some(cur.snapshotId)).repartition(targetFiles),
       cur.iter, cur.metrics)
   }
 

@@ -91,6 +91,63 @@ object Neighborhood {
       .select(col("vid"), coalesce(col("h"), lit(0L)).as(col0))
   }
 
+  /**
+   * Neighborhood-function CURVE in one pass per path: rows
+   * (t, nf_exact, gate_ok) for t ≤ kExact — the exact pair count anchors
+   * the HLL estimate sum within `tol` — and (t, −1, est_sum > 0) for
+   * kExact < t ≤ k. Each expansion superstep of either path executes
+   * exactly ONCE (per-radius calls to [[exactBall]]/[[hyperBall]] re-run
+   * 1+2+…+k rounds); per-round states checkpoint eagerly so every radius'
+   * one-row aggregate reads shared blocks, and the aggregates themselves
+   * checkpoint so the Θ(Σ|B_t|) intermediates are freed before returning.
+   * The eager per-round actions are the documented cost of an aggregate
+   * curve — this is a measurement query, not a superstep driver.
+   */
+  def nfCurve(verts: DataFrame, edges: DataFrame, kExact: Int, k: Int,
+              tol: Double): DataFrame = {
+    require(kExact >= 1 && kExact <= 4, s"exact anchors materialize Σ|B_t| pairs — kExact=$kExact refused")
+    require(k >= kExact, s"k=$k must cover kExact=$kExact")
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var reach = verts.select(col("vid").as("src"), col("vid").as("dst"))
+    val nfEx = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (t <- 1 to kExact) {
+      val step = reach.join(e, col("dst") === col("e_src"))
+        .select(col("src"), col("e_dst").as("dst"))
+      reach = reach.union(step).distinct().localCheckpoint(true)
+      inter += reach
+      nfEx += reach.agg(count(lit(1)).as("nf_exact"))
+        .select(lit(t.toLong).as("t"), col("nf_exact")).localCheckpoint(true)
+    }
+    var b = verts.select(col("vid"), HllExprs.hllInit(col("vid")).as("reg"))
+      .localCheckpoint(true)
+    inter += b
+    val estSums = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (t <- 1 to k) {
+      val in = e.join(b, col("e_dst") === col("vid"))
+        .select(col("e_src").as("vid"), col("reg"))
+      b = in.unionByName(b)
+        .groupBy("vid").agg(HllExprs.hllUnionAgg(col("reg")).as("reg"))
+        .localCheckpoint(true)
+      inter += b
+      estSums += b.agg(sum(HllExprs.hllEstimate(col("reg"))).as("est_sum"))
+        .select(lit(t.toLong).as("t"), col("est_sum")).localCheckpoint(true)
+    }
+    val gated = (1 to kExact).map { t =>
+      nfEx(t - 1).join(estSums(t - 1), Seq("t"))
+        .select(col("t"), col("nf_exact"),
+          (abs(col("est_sum") - col("nf_exact")) / col("nf_exact") < lit(tol))
+            .as("gate_ok"))
+    }
+    val estOnly = (kExact + 1 to k).map { t =>
+      estSums(t - 1).select(col("t"), lit(-1L).as("nf_exact"),
+        (col("est_sum") > 0.0).as("gate_ok"))
+    }
+    val out = (gated ++ estOnly).reduce(_ unionByName _).localCheckpoint(true)
+    inter.foreach(graft.graph.GraphOps.freeCheckpoint)
+    out
+  }
+
   /** (vid, est) — HyperBall estimate of |B_k(vid)| as a double. */
   def hyperBall(verts: DataFrame, edges: DataFrame, k: Int): DataFrame = {
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))

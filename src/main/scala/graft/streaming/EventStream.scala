@@ -115,7 +115,16 @@ object EventStream {
    */
   def clicksBeforeErrors(errors: DataFrame, clicks: DataFrame,
                          watermark: String = "2 hours",
-                         windowSql: String = "INTERVAL 1 HOUR"): DataFrame = {
+                         windowSql: String = "INTERVAL 1 HOUR"): DataFrame =
+    intervalJoined(errors, clicks, watermark, windowSql, "inner")
+      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
+
+  /** The one copy of the watermarked interval-join predicate both
+    * stream-stream joins share — two copies of the e_user/c_ts bounds
+    * would drift independently. */
+  private def intervalJoined(errors: DataFrame, clicks: DataFrame,
+                             watermark: String, windowSql: String,
+                             joinType: String): DataFrame = {
     val e = errors.withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
@@ -125,8 +134,8 @@ object EventStream {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
     e.join(c, col("e_user") === col("c_user") &&
-      col("c_ts") >= col("e_ts") - expr(windowSql) && col("c_ts") < col("e_ts"))
-      .select(col("error_id"), col("click_id"), col("e_user").as("user_id"))
+      col("c_ts") >= col("e_ts") - expr(windowSql) && col("c_ts") < col("e_ts"),
+      joinType)
   }
 
   /**
@@ -138,22 +147,11 @@ object EventStream {
    * StreamingSpec pins exactly that). Unmatched click_id → −1 sentinel.
    */
   def clicksBeforeErrorsOuter(errors: DataFrame, clicks: DataFrame,
-                              watermark: String = "1 hour",
-                              windowSql: String = "INTERVAL 1 HOUR"): DataFrame = {
-    val e = errors.withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
-      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
-        col("ts").as("e_ts"))
-    val c = clicks.withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-    e.join(c, col("e_user") === col("c_user") &&
-        col("c_ts") >= col("e_ts") - expr(windowSql) && col("c_ts") < col("e_ts"),
-        "leftOuter")
+                              watermark: String = "2 hours",
+                              windowSql: String = "INTERVAL 1 HOUR"): DataFrame =
+    intervalJoined(errors, clicks, watermark, windowSql, "leftOuter")
       .select(col("error_id"), coalesce(col("click_id"), lit(-1L)).as("click_id"),
         col("e_user").as("user_id"))
-  }
 
   /** Run a streaming DataFrame to completion against a memory sink; return the result table. */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,

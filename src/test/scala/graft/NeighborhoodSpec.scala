@@ -84,4 +84,25 @@ class NeighborhoodSpec extends SparkSpec {
     val ringBall = exact.filter(col("vid") === 1L).head().getLong(1)
     assert(ringBall == 3L)
   }
+
+  test("nfCurve's exact anchors equal per-radius exactBall sums; gates hold") {
+    val n = 300L
+    val ring = (0L until n).map(i => (i, (i + 1) % n))
+    val hubs = (0L until n by 10).flatMap(h => (1L to 12L).map(j => (h, (h + j * 17) % n)))
+    val edges = (ring ++ hubs).distinct.filter { case (s, d) => s != d }
+      .toDF("src", "dst")
+    val verts = graph.GraphOps.vertices(edges)
+    val curve = Neighborhood.nfCurve(verts, edges, kExact = 3, k = 4, tol = 0.10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(curve.keySet == Set(1L, 2L, 3L, 4L))
+    for (t <- 1 to 3) {
+      val want = Neighborhood.exactBall(verts, edges, t)
+        .agg(sum(col("ball"))).head().getLong(0)
+      assert(curve(t.toLong)._1 == want, s"nf_exact diverged from exactBall sum at t=$t")
+      assert(curve(t.toLong)._2, s"HLL gate failed at t=$t")
+    }
+    assert(curve(4L) == (-1L, true), "estimate-only row wrong")
+    // N(t) is monotone nondecreasing in t
+    assert(curve(1L)._1 <= curve(2L)._1 && curve(2L)._1 <= curve(3L)._1)
+  }
 }

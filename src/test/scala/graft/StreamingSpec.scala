@@ -126,14 +126,17 @@ class StreamingSpec extends SparkSpec {
       }
     }
     // batch 1: clicks (one matching, one orphan); batch 2: three errors;
-    // batch 3: a far-future sentinel error that drives the watermark past
-    // every real error's join window; batch 4: a far-future orphan click —
-    // outer rows are emitted by the batch that RUNS AFTER the watermark
-    // passed (measured: a trailing no-data batch does not flush them here),
-    // so batch 4 is the flush vehicle. The sentinel error stays YOUNGER
-    // than every watermark any batch ran with, so its outer row must be
-    // withheld at stream end — pinning that outer emission is
-    // watermark-driven, never end-of-stream-driven.
+    // batch 3: a far-future sentinel error; batch 4: a far-future orphan
+    // click. Under the default multipleWatermarkPolicy=min the GLOBAL
+    // watermark is the min over both inputs, and the click side is stuck
+    // at 08:30 (batch-1 max 09:30 − 1 h) until batch 4 advances it — which
+    // is why a 3-batch version of this fixture emits NO outer rows: the
+    // error side's watermark alone can never evict. Batch 4 raises the
+    // click-side (hence global) watermark past every real error, and the
+    // watermark-advance no-data batch after it flushes the outer rows.
+    // The sentinel error stays YOUNGER than every watermark the query ever
+    // ran with, so its outer row must be withheld at stream end — pinning
+    // that outer emission is watermark-driven, never end-of-stream-driven.
     writeBatch(Seq((101L, ts("2024-01-01 09:30:00"), 1L, "click"),
                    (102L, ts("2024-01-01 09:00:00"), 4L, "click")), 10000000L)
     writeBatch(Seq((1L, ts("2024-01-01 10:00:00"), 1L, "error"),

@@ -39,8 +39,10 @@ object Condensation {
 
   /** Per-vertex topological layer after exactly k max-plus supersteps over
     * the condensation of `edges`: (vid, scc_id, layer_k). */
-  def topoLayers(spark: SparkSession, edges: DataFrame, k: Int): DataFrame = {
-    val scc = StronglyConnectedComponents.run(spark, edges).localCheckpoint(true)
+  def topoLayers(spark: SparkSession, edges: DataFrame, k: Int,
+                 assumeDistinct: Boolean = false): DataFrame = {
+    val scc = StronglyConnectedComponents.run(spark, edges,
+      assumeDistinct = assumeDistinct).localCheckpoint(true)
     val ce  = condense(edges, scc).localCheckpoint(true)
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()

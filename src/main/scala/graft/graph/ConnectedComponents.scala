@@ -27,7 +27,7 @@ object ConnectedComponents {
           broadcastMaxRows: Long = 500000L): DataFrame = {
     // explicit numPartitions honored exactly; otherwise right-sized from the
     // materialized symmetric edge count (same rationale as PageRank.run)
-    val (sym, _, parts) =
+    val laid =
       if (numPartitions > 0) {
         val s0 = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), numPartitions)
         (s0, s0.count(), numPartitions)
@@ -35,7 +35,16 @@ object ConnectedComponents {
         GraphOps.layoutForIteration(GraphOps.symmetrized(edges),
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       }
+    runLaid(spark, laid, maxIter, broadcastMaxRows)
+  }
 
+  /** [[run]] core over a pre-laid-out symmetric edge table (cached,
+    * src-hash-partitioned `(edges, |E|, parts)` — e.g. DocGraph.laidSym's
+    * one-exchange layout). The laid table is unpersisted on return. */
+  private[graft] def runLaid(spark: SparkSession, laidSym: (DataFrame, Long, Int),
+                             maxIter: Int = 100,
+                             broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (sym, _, parts) = laidSym
     var labels = GraphOps.vertices(sym)
       .select(col("vid"), col("vid").as("label"))
       .repartition(parts, col("vid"))
@@ -51,23 +60,40 @@ object ConnectedComponents {
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIter) {
-      // (HashMin superstep)
-      // ONE job per superstep: the vertex's own row carries its previous
-      // label in `old` (messages carry null), so min(label)/min(old) in the
-      // same aggregate yields both the new state and the exact change count —
-      // no separate convergence-check join (mirrors PageRank's closing agg).
-      val msgs = sym.join(pin(labels), sym("src") === labels("vid"))
-        .select(sym("dst").as("vid"), labels("label"),
+      // STRIDED HashMin (r6): up to two supersteps per driver round-trip.
+      // The first chains lazily (no `old` bookkeeping, no action); the
+      // second carries its previous label in `old` so the counting
+      // aggregate — the ONE job of the pair — yields the new state and the
+      // exact change count together (mirrors PageRank's closing agg). A
+      // HashMin superstep at fixpoint is the identity, so stopping on the
+      // second step's zero count is the former per-superstep test at half
+      // the driver actions; cost ≤ 1 redundant superstep per run. `maxIter`
+      // is still respected EXACTLY (the tail stride shrinks to fit) — a
+      // capped run executes the same superstep count as before.
+      val steps = math.min(2, maxIter - iter)
+      val mid =
+        if (steps < 2) labels
+        else {
+          val m = sym.join(pin(labels), sym("src") === labels("vid"))
+            .select(sym("dst").as("vid"), labels("label"))
+            .unionByName(labels.select(col("vid"), col("label")))
+            .groupBy("vid").agg(min(col("label")).as("label"))
+            .localCheckpoint(false)
+          m
+        }
+      val msgs = sym.join(pin(mid), sym("src") === mid("vid"))
+        .select(sym("dst").as("vid"), mid("label"),
           lit(null).cast("long").as("old"))
-      val own = labels.select(col("vid"), col("label"), col("label").as("old"))
+      val own = mid.select(col("vid"), col("label"), col("label").as("old"))
       val next = msgs.unionByName(own)
         .groupBy("vid").agg(min(col("label")).as("label"), min(col("old")).as("old"))
       val mat = next.localCheckpoint(false) // materialized by the agg below
       changed = mat.agg(sum(when(col("label") < col("old"), 1L).otherwise(0L)))
         .first().getLong(0)
       GraphOps.freeCheckpoint(labels)
+      if (mid ne labels) GraphOps.freeCheckpoint(mid)
       labels = mat.select("vid", "label")
-      iter += 1
+      iter += steps
     }
     sym.unpersist(false)
     labels

@@ -111,17 +111,20 @@ object GraphOps {
 
   /**
    * Right-sized iteration partition count: ~`edgesPerPart` edges per task,
-   * clamped to [4, confParts]. A superstep stage always schedules one task
+   * clamped to [1, confParts]. A superstep stage always schedules one task
    * per partition, so a 20k-edge graph on 32 partitions pays 32 near-empty
    * tasks × ~40 supersteps of pure scheduling overhead (measured: 3.6 s vs
-   * 0.6 s per superstep at sf0.1). At scale the clamp is inert — any graph
+   * 0.6 s per superstep at sf0.1). The former floor of 4 paid 4 near-empty
+   * tasks per stage on sub-200k-edge graphs for no parallelism gain —
+   * dropping it to 1 measured another ~1 s off a 40-superstep fixed-k run
+   * at sf0.1 (r6 DeferredPrProbe). At scale the clamp is inert — any graph
    * past `confParts × edgesPerPart` edges (1.6M at 32 parts) keeps the
    * configured width.
    */
   def rightSizedParts(edgeCount: Long, confParts: Int,
                       edgesPerPart: Long = 50000L): Int =
     math.max(1L, math.min(confParts.toLong,
-      math.max(4L, edgeCount / edgesPerPart))).toInt
+      edgeCount / edgesPerPart)).toInt
 
   /**
    * Two-phase iteration layout: partition at the configured width, count (the
@@ -142,6 +145,36 @@ object GraphOps {
       e0.unpersist(false)
       (e1, cnt, p)
     }
+  }
+
+  /**
+   * ONE-exchange dedup + layout for a raw (possibly duplicate-bearing) edge
+   * stream whose size the caller can estimate without a job (guide §2.4 —
+   * remove shuffles outright): hash-partition on `src` at the width
+   * right-sized from `estEdges`, fold the exact (src, dst) dedup into the
+   * SAME exchange — `HashPartitioning(src)` satisfies the distinct's
+   * `ClusteredDistribution(src, dst)`, so Catalyst inserts no second
+   * shuffle — then CSR-sort, persist, count. Replaces the former
+   * distinct-exchange → repartition-exchange → (re-layout exchange) triple
+   * of `edges().distinct()` + [[layoutForIteration]] with a single shuffle
+   * and a single materializing count.
+   *
+   * Trade stated for 100 TB: the raw rows shuffle UNaggregated (the explicit
+   * repartition precedes the dedup, so there is no map-side combine). Use
+   * only where raw ≈ distinct (the doc graph's duplicate rate is per-doc
+   * hash collisions, ≲0.2%); a heavily duplicated source should keep the
+   * distinct-first shape so partial aggregation shrinks the shuffle.
+   * The estimate only picks the partition count — correctness never depends
+   * on it, and the returned count is the exact materialized |E|.
+   */
+  def layoutDedupForIteration(rawEdges: DataFrame, confParts: Int,
+                              estEdges: Long): (DataFrame, Long, Int) = {
+    val p = rightSizedParts(estEdges, confParts)
+    val laid = rawEdges.repartition(p, col("src"))
+      .dropDuplicates("src", "dst")
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (laid, laid.count(), p)
   }
 
   /**

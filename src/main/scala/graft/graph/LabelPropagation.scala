@@ -25,7 +25,7 @@ object LabelPropagation {
           broadcastMaxRows: Long = 500000L): DataFrame = {
     // explicit numPartitions honored exactly; otherwise right-sized from the
     // materialized symmetric edge count (same rationale as PageRank.run)
-    val (sym, _, parts) =
+    val laid =
       if (numPartitions > 0) {
         val s0 = GraphOps.partitionForIteration(GraphOps.symmetrized(edges), numPartitions)
         (s0, s0.count(), numPartitions)
@@ -33,7 +33,15 @@ object LabelPropagation {
         GraphOps.layoutForIteration(GraphOps.symmetrized(edges),
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       }
+    runLaid(spark, laid, maxIter, broadcastMaxRows)
+  }
 
+  /** [[run]] core over a pre-laid-out symmetric edge table (cached,
+    * src-hash-partitioned — e.g. DocGraph.laidSym's one-exchange layout). */
+  private[graft] def runLaid(spark: SparkSession, laidSym: (DataFrame, Long, Int),
+                             maxIter: Int = 20,
+                             broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (sym, _, parts) = laidSym
     var labels = GraphOps.vertices(sym)
       .select(col("vid"), col("vid").as("label"))
       .repartition(parts, col("vid"))
@@ -45,29 +53,43 @@ object LabelPropagation {
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
 
-    var iter    = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val nbr = sym.join(pin(labels), sym("src") === labels("vid"))
-        .select(sym("dst").as("vid"), labels("label"))
+    // one synchronous LPA superstep: most frequent neighbor label, ties →
+    // smallest, via an overflow-free descending key (~label is monotone-
+    // decreasing over all longs — ANSI-safe, unlike -label on Long.MinValue)
+    def superstep(st: DataFrame): DataFrame = {
+      val nbr = sym.join(pin(st), sym("src") === st("vid"))
+        .select(sym("dst").as("vid"), st("label"))
       val freq = nbr.groupBy("vid", "label").agg(count(lit(1)).as("cnt"))
-      // tie-break toward the smallest label via an overflow-free descending
-      // key: ~label is monotone-decreasing over all longs (ANSI-safe, unlike
-      // -label which throws on Long.MinValue)
       val winner = freq.groupBy("vid")
         .agg(max_by(col("label"),
           struct(col("cnt"), bitwise_not(col("label")).as("nl"))).as("newLabel"))
-      // ONE job per superstep: carry the previous label through the join and
-      // fold the changed-count into the materializing aggregate
-      val next = labels.join(pin(winner), Seq("vid"), "left")
+      st.join(pin(winner), Seq("vid"), "left")
         .select(col("vid"), coalesce(col("newLabel"), col("label")).as("label"),
           col("label").as("old"))
-      val mat = next.localCheckpoint(false) // materialized by the agg below
+    }
+
+    var iter    = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // STRIDED (r6): up to two supersteps per driver round-trip — the first
+      // chains lazily, the second's materializing aggregate folds the
+      // changed-count (the former one-job-per-superstep shape, now one job
+      // per PAIR). A synchronous-LPA superstep at `changed == 0` is the
+      // identity, so the strided stop test equals the per-superstep one;
+      // `maxIter` is respected EXACTLY (tail stride shrinks), which is
+      // load-bearing: a capped run (q_lp's maxIter = 10) must execute
+      // exactly the oracle's superstep count.
+      val steps = math.min(2, maxIter - iter)
+      val mid =
+        if (steps < 2) labels
+        else superstep(labels).select("vid", "label").localCheckpoint(false)
+      val mat = superstep(mid).localCheckpoint(false) // materialized below
       changed = mat.agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)))
         .first().getLong(0)
       GraphOps.freeCheckpoint(labels)
+      if (mid ne labels) GraphOps.freeCheckpoint(mid)
       labels = mat.select("vid", "label")
-      iter += 1
+      iter += steps
     }
     sym.unpersist(false)
     labels

@@ -104,7 +104,7 @@ object PageRank {
     // explicit numPartitions is honored exactly (the scaling bench pins it);
     // otherwise the width is right-sized from the materialized edge count so
     // tiny graphs don't pay confParts near-empty tasks per superstep stage
-    val (e, edgeCount, parts) =
+    val (eSrc, edgeCount, parts) =
       if (cfg.numPartitions > 0) {
         val e0 = GraphOps.partitionForIteration(typedEdges, cfg.numPartitions)
         (e0, e0.count(), cfg.numPartitions)
@@ -113,10 +113,10 @@ object PageRank {
           spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       }
 
-    val outDeg = GraphOps.outDegrees(e)
+    val outDeg = GraphOps.outDegrees(eSrc)
       .repartition(parts, col("vid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = GraphOps.vertices(e)
+    val verts = GraphOps.vertices(eSrc)
       .repartition(parts, col("vid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
@@ -136,6 +136,31 @@ object PageRank {
       case "auto" => if (n <= cfg.broadcastMaxRows) "broadcast" else "shuffle_hash"
       case s      => s
     }
+
+    // r6 (guide §2.4 — remove shuffles outright): in the zero-hub BROADCAST
+    // regime the superstep join does not need src clustering (the rank side
+    // ships as a hash relation), so the edges re-lay ONCE by `dst`: the
+    // per-superstep groupBy(dst) partial aggregation then lands on the
+    // cached partitioning and the superstep runs with NO shuffle at all —
+    // broadcast build + map-side chain + the tiny closing aggregate. One
+    // extra edge shuffle up front buys maxIter shuffle-free supersteps.
+    // Gated on hubCount == 0 because the salted contribution union discards
+    // partitioning metadata (the groupBy would exchange regardless —
+    // measured a wash on the hub-skewed salted leg, so the relayout is not
+    // paid there). The shuffle regime keeps the src layout (its join
+    // streams the cached edge side); raising the broadcast crossover past
+    // 500k rows was probed at the 2M-vertex headline and REJECTED: the
+    // per-superstep driver-side broadcast build (collect + hash relation of
+    // |V| rows) costs more than the contribution shuffle it replaces
+    // (13.1 s vs 11.3 s sum-of-supersteps, HeadlineProbe).
+    val e =
+      if (strategy == "broadcast" && hubCount == 0) {
+        val laid = eSrc.repartition(parts, col("dst")).sortWithinPartitions("dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        laid.count() // materialize from the cached src layout, then drop it
+        eSrc.unpersist(false)
+        laid
+      } else eSrc
 
     // Ranks carry the static nullable out-degree column so each superstep is
     // ONE Spark job: the closing aggregate computes this iteration's L1 AND

@@ -61,13 +61,14 @@ object Triangles {
   }
 
   /** Per-vertex triangle participation counts (materialized — the oriented
-    * edge cache is held only while the underlying action runs). */
+    * edge cache is held only while the underlying action runs). The three
+    * corners come from ONE pass over the triangle join via explode (r6 —
+    * the former union of three projections of `t` re-evaluated the
+    * wedge-close join three times); row-for-row identical output. */
   def perVertex(spark: SparkSession, edges: DataFrame): DataFrame = {
     val eo = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val t = trianglesFrom(eo)
-    val res = t.select(col("x").as("vid"))
-      .union(t.select(col("y").as("vid")))
-      .union(t.select(col("z").as("vid")))
+    val res = t.select(explode(array(col("x"), col("y"), col("z"))).as("vid"))
       .groupBy("vid").agg(count(lit(1)).as("triangles"))
       .localCheckpoint(true)
     eo.unpersist(false)

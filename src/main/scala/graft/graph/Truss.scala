@@ -30,26 +30,42 @@ object Truss {
 
   /** `rounds` support-peel rounds toward the k-truss over the canonical
     * undirected edge set of `edges`; returns surviving (a, b), a < b. */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    peelUnd(GraphOps.undirected(edges), k, rounds)
+
+  /** [[peel]] over an ALREADY-canonical undirected pair set (a, b), a < b,
+    * deduplicated — e.g. DocGraph.laidUnd's cached one-exchange layout. */
+  private[graft] def peelUnd(und0: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k ≥ 3, got $k")
     require(rounds >= 1)
-    var und = GraphOps.undirected(edges)
+    var und = und0
     for (_ <- 1 to rounds) {
+      // the rounds chain LAZILY (zero driver actions), so a persist here
+      // would be cancelled by its unpersist before anything materializes
+      // (the former persist/unpersist pair was exactly that no-op); sharing
+      // of the oriented set across its three references is Catalyst's
+      // ReusedExchange over the identical aggregate/join subtrees
       val eo = Triangles.oriented(und.select(col("a").as("src"), col("b").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val e1 = eo.select(col("u").as("x"), col("v").as("y"))
       val e2 = eo.select(col("u").as("y2"), col("v").as("z"))
       val wedges = e1.join(e2, col("y") === col("y2")).select(col("x"), col("y"), col("z"))
       val tri = wedges.join(eo, wedges("x") === eo("u") && wedges("z") === eo("v"), "left_semi")
-      val sup = tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-        .union(tri.select(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")))
-        .union(tri.select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))
+      // ONE pass over the triangle join: explode each triangle into its three
+      // canonical edges (r6 — the former union of three projections of `tri`
+      // re-evaluated the wedge-close join three times per round; guide §2.3
+      // "aggregate before you shuffle" / §2.4 shared-subtree discipline).
+      // Row-for-row identical to the former 3-way union.
+      val sup = tri.select(explode(array(
+          struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b"))))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
       und = und.join(sup, Seq("a", "b"), "left")
         .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
         .select(col("a"), col("b"))
         .localCheckpoint(false)
-      eo.unpersist(false)
     }
     und
   }

@@ -36,8 +36,15 @@ object WlRefine {
   def refine(spark: SparkSession, edges: DataFrame, k: Int): DataFrame = {
     val sym = GraphOps.symmetrized(
       edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
-    val (e, _, parts) = GraphOps.layoutForIteration(sym,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    refineLaid(spark, GraphOps.layoutForIteration(sym,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt), k)
+  }
+
+  /** [[refine]] core over a pre-laid-out symmetric edge table (cached,
+    * src-hash-partitioned — e.g. DocGraph.laidSym's one-exchange layout). */
+  private[graft] def refineLaid(spark: SparkSession, laidSym: (DataFrame, Long, Int),
+                                k: Int): DataFrame = {
+    val (e, _, parts) = laidSym
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     // color_0 = symmetric degree (every vertex of sym appears as a src)
     var st = e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("c"))

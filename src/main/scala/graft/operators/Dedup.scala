@@ -89,7 +89,14 @@ object Dedup {
       .distinct()
     val cdocs = docs.select(col(idCol).as("id"), col(textCol))
       .join(candIds, col("id") === col("cid"), "left_semi")
+    // r6: the shingle table feeds THREE consumers (per-doc sizes + both join
+    // sides of the intersection count); without the cache each one re-runs
+    // the tokenize+hash explode — the most expensive projection in the
+    // pipeline — per reference. Lazy persist: no extra action, populated by
+    // whichever consumer stage runs first, released by the caller's session
+    // hygiene (bench clears cache between queries).
     val sh = cdocs.select(col("id"), explode(shingleHashes(col(textCol), k)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.as("sa"), col("a") === col("sa.id"))

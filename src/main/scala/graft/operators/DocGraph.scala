@@ -30,7 +30,12 @@ object DocGraph {
     nDocsMemo.computeIfAbsent(sfDir, d => docs(spark, d).count()).longValue()
 
   /** The derived edge table (src, dst) — matches the `edges` CTE in oracle SQL. */
-  def edges(spark: SparkSession, sfDir: String): DataFrame = {
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    rawEdges(spark, sfDir).distinct()
+
+  /** [[edges]] minus the final dedup — the input the one-exchange laid-out
+    * builders below fold their dedup into. Self-loops already removed. */
+  private def rawEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val n = nDocs(spark, sfDir)
     docs(spark, sfDir)
       .select(col("doc_id"))
@@ -38,8 +43,53 @@ object DocGraph {
       .select(col("doc_id").as("src"),
         ((col("doc_id") * lit(2654435761L) + col("j") * lit(97L) + lit(13L)) % lit(n)).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
+
+  /** Expected |E| with NO job: each doc emits `doc_id % 7 + 1` candidate
+    * links (mean 4, exact over any id-contiguous corpus); self-loop and
+    * duplicate losses are ≲0.2 %. Only ever used to pick a partition count
+    * (GraphOps.rightSizedParts) — correctness never depends on it. */
+  private def estEdges(spark: SparkSession, sfDir: String): Long =
+    4L * math.max(1L, nDocs(spark, sfDir))
+
+  private def confParts(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Directed doc edge table laid out for iteration — same rows as
+    * [[edges]], produced with ONE exchange (dedup folded into the
+    * src-partitioned layout shuffle, guide §2.4) instead of the former
+    * distinct-exchange → repartition-exchange → re-layout triple.
+    * Returns (cached edges, |E|, parts); callers unpersist. */
+  private[graft] def laidDirected(spark: SparkSession, sfDir: String): (DataFrame, Long, Int) =
+    GraphOps.layoutDedupForIteration(rawEdges(spark, sfDir),
+      confParts(spark), estEdges(spark, sfDir))
+
+  /** Directed doc edges REVERSED (dst→src), laid out in one exchange —
+    * the landmark driver's propagation orientation. */
+  private[graft] def laidReversed(spark: SparkSession, sfDir: String): (DataFrame, Long, Int) =
+    GraphOps.layoutDedupForIteration(
+      rawEdges(spark, sfDir).select(col("dst").as("src"), col("src").as("dst")),
+      confParts(spark), estEdges(spark, sfDir))
+
+  /** Symmetric doc edge set (both orientations, distinct — identical rows to
+    * `GraphOps.symmetrized(edges(…))`), laid out in ONE exchange: distinct of
+    * the union of both orientations ≡ both orientations of the distinct
+    * undirected set. */
+  private[graft] def laidSym(spark: SparkSession, sfDir: String): (DataFrame, Long, Int) = {
+    val r = rawEdges(spark, sfDir)
+    GraphOps.layoutDedupForIteration(
+      r.unionByName(r.select(col("dst").as("src"), col("src").as("dst"))),
+      confParts(spark), 2L * estEdges(spark, sfDir))
+  }
+
+  /** Canonical undirected pairs a < b as (src, dst) — identical rows to
+    * `GraphOps.undirected(edges(…))` under that renaming — laid out in ONE
+    * exchange. */
+  private[graft] def laidUnd(spark: SparkSession, sfDir: String): (DataFrame, Long, Int) =
+    GraphOps.layoutDedupForIteration(
+      rawEdges(spark, sfDir).select(
+        least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst")),
+      confParts(spark), estEdges(spark, sfDir))
 
   /** SQL prefix defining the same edge table for the DuckDB oracle.
     * Iterative oracles chain CTEs that are each referenced more than once —
@@ -71,12 +121,69 @@ object DocGraph {
    * points that plain `round` hits when ranks are short decimal fractions —
    * making the integer comparison robust cross-engine.
    */
-  def prIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val e   = edges(spark, sfDir)
-    val res = PageRank.run(spark, e,
-      PageRankConfig(eps = 0.0, maxIter = k, ckptEvery = 0))
-    res.ranks.select(col("vid"),
+  def prIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    prIterLaid(spark, laidDirected(spark, sfDir), k)
+
+  /**
+   * Fixed-k PageRank as a ZERO-actions-per-superstep lazy localCheckpoint
+   * chain (bfsIter's discipline) — r6 optimization of the former
+   * PageRank.run delegation, which paid one driver action per superstep to
+   * fetch the dangling-mass scalar (plus per-superstep query planning):
+   * measured 10.4–11.8 s → 7.5–8.5 s for k=40 at sf0.1/local[32], e7
+   * output bit-identical (DeferredPrProbe, 0 mismatches).
+   *
+   * The dangling term moves IN-PLAN: a one-row aggregate of the previous
+   * state (Σ rank over non-dangling — the same formulation PageRank.run
+   * uses) attached by a broadcast HASH join on a degenerate non-foldable
+   * key (`attr*0`), never a BroadcastNestedLoopJoin (PlanSpec's ban) and
+   * never a cartesian. Arithmetic order mirrors PageRank.run's driver
+   * computation term by term, so the ≲1e-11 summation-order drift the e7
+   * floor absorbs is unchanged in kind. PageRank.run remains the
+   * convergence/metrics/checkpoint engine (headline bench, entry(),
+   * goldens, resume); this is the fixed-k oracle path only.
+   */
+  private[graft] def prIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int),
+                                k: Int, d: Double = 0.85): DataFrame = {
+    val (e, _, parts) = laid
+    val outdeg = GraphOps.outDegrees(e).repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    require(n > 0, "empty graph")
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var r = verts.join(outdeg, Seq("vid"), "left")
+      .select(col("vid"), lit(1.0 / n).as("rank"), col("outDeg"))
+      .localCheckpoint(false)
+    inter += r
+    for (_ <- 1 to k) {
+      // transmitted mass of the current state, as a 1-row side table; the
+      // degenerate `attr*0` key survives constant folding as an attribute,
+      // so the scalar attach plans as a broadcast HASH join
+      val tm = r.filter(col("outDeg").isNotNull)
+        .agg(sum(col("rank")).as("tm"))
+        .select(coalesce(col("tm"), lit(0.0)).as("tm"))
+        .withColumn("__k", (col("tm") * 0).cast("int"))
+      val rankDeg = r.filter(col("outDeg").isNotNull)
+        .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
+      val sums = e.join(rankDeg.hint("shuffle_hash"), e("src") === rankDeg("vid"))
+        .groupBy(e("dst").as("dvid")).agg(sum(col("w")).as("s"))
+      val dang = greatest(lit(0.0), lit(1.0) - col("tm"))
+      val base = lit(1.0 - d) / lit(n.toDouble) + (lit(d) * dang) / lit(n.toDouble)
+      val newRank = base + lit(d) * coalesce(col("s"), lit(0.0))
+      val next = r.join(sums.hint("shuffle_hash"), r("vid") === sums("dvid"), "left")
+        .withColumn("__k", (r("vid") * 0).cast("int"))
+        .join(broadcast(tm), Seq("__k"))
+        .select(r("vid"), newRank.as("rank"), r("outDeg"))
+      r = next.localCheckpoint(false)
+      inter += r
+    }
+    val out = r.select(col("vid"),
       floor(col("rank") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"pr${k}e7"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false); outdeg.unpersist(false); verts.unpersist(false)
+    out
   }
 
   /** Oracle SQL for exactly k PageRank supersteps (k small; CTE per superstep). */
@@ -121,7 +228,7 @@ object DocGraph {
    */
   def pprIter(spark: SparkSession, sfDir: String, k: Int,
               d: Double = 0.85): DataFrame =
-    pprIterEdges(spark, edges(spark, sfDir), k, d)
+    pprIterLaid(spark, laidDirected(spark, sfDir), k, d)
 
   /**
    * [[pprIter]] core on an explicit edge table, ONE Spark job per superstep
@@ -133,10 +240,15 @@ object DocGraph {
    */
   private[graft] def pprIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
                                   d: Double = 0.85,
-                                  broadcastMaxRows: Long = 500000L): DataFrame = {
-    val (e, _, parts) = GraphOps.layoutForIteration(
+                                  broadcastMaxRows: Long = 500000L): DataFrame =
+    pprIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), k, d, broadcastMaxRows)
+
+  private def pprIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+                          d: Double = 0.85,
+                          broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, _, parts) = laid
     val outdeg = GraphOps.outDegrees(e).repartition(parts, col("vid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
@@ -219,7 +331,7 @@ object DocGraph {
    * same discipline as [[prIter]]/[[pprIter]].
    */
   def hitsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    hitsIterEdges(spark, edges(spark, sfDir), k)
+    hitsIterCore(spark, linkAnalysisLaid(spark, laidDirected(spark, sfDir)), k)
 
   /**
    * Shared HITS/SALSA layout: co-partitioned edges plus degree-PRE-JOINED,
@@ -229,10 +341,14 @@ object DocGraph {
    * rewrite removed). Callers unpersist all three.
    */
   private def linkAnalysisLayout(spark: SparkSession, edges0: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, Long) = {
-    val (e, _, parts) = GraphOps.layoutForIteration(
+      : (DataFrame, DataFrame, DataFrame, Long) =
+    linkAnalysisLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)))
+
+  private def linkAnalysisLaid(spark: SparkSession, laid: (DataFrame, Long, Int))
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val (e, _, parts) = laid
     val vertsOut = GraphOps.vertices(e)
       .join(GraphOps.outDegrees(e), Seq("vid"), "left")
       .repartition(parts, col("vid"))
@@ -257,8 +373,13 @@ object DocGraph {
    * ≲1e-15 relative; the e7 floor pins it (same discipline as prIter).
    */
   private[graft] def hitsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
-                                   broadcastMaxRows: Long = 500000L): DataFrame = {
-    val (e, vertsOut, vertsIn, nV) = linkAnalysisLayout(spark, edges0)
+                                   broadcastMaxRows: Long = 500000L): DataFrame =
+    hitsIterCore(spark, linkAnalysisLayout(spark, edges0), k, broadcastMaxRows)
+
+  private def hitsIterCore(spark: SparkSession,
+                           layout: (DataFrame, DataFrame, DataFrame, Long), k: Int,
+                           broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, vertsOut, vertsIn, nV) = layout
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     // ifEmpty = 1.0 below: an edgeless graph has an empty frontier (every
@@ -318,12 +439,17 @@ object DocGraph {
    * order like every double-valued driver here.
    */
   def salsaIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    salsaIterEdges(spark, edges(spark, sfDir), k)
+    salsaIterCore(spark, linkAnalysisLaid(spark, laidDirected(spark, sfDir)), k)
 
   private[graft] def salsaIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
-                                    broadcastMaxRows: Long = 500000L): DataFrame = {
+                                    broadcastMaxRows: Long = 500000L): DataFrame =
+    salsaIterCore(spark, linkAnalysisLayout(spark, edges0), k, broadcastMaxRows)
+
+  private def salsaIterCore(spark: SparkSession,
+                            layout: (DataFrame, DataFrame, DataFrame, Long), k: Int,
+                            broadcastMaxRows: Long = 500000L): DataFrame = {
     require(k >= 1, s"k=$k")
-    val (e, vertsOut, vertsIn, nV) = linkAnalysisLayout(spark, edges0)
+    val (e, vertsOut, vertsIn, nV) = layout
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -421,7 +547,7 @@ object DocGraph {
    * report -1 (a NULL-free sentinel for the driver's hash compare).
    */
   def bfsIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    bfsIterEdges(spark, edges(spark, sfDir), k)
+    bfsIterLaid(spark, laidDirected(spark, sfDir), k)
 
   /**
    * [[bfsIter]] core on an explicit edge table. BFS needs NO per-superstep
@@ -435,10 +561,13 @@ object DocGraph {
    * fixed-k cost); the edge table is laid out and cached once so the single
    * job reads the scan once, not k times.
    */
-  private[graft] def bfsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
-    val (e, _, parts) = GraphOps.layoutForIteration(
+  private[graft] def bfsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+    bfsIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), k)
+
+  private def bfsIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (e, _, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
     // the dist side is always the FULL vertex set (not a shrinking frontier),
     // so it is pinned to a shuffle-hash join against the src-partitioned
@@ -505,12 +634,15 @@ object DocGraph {
    * superstep).
    */
   def ssspIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    ssspIterEdges(spark, edges(spark, sfDir), k)
+    ssspIterLaid(spark, laidDirected(spark, sfDir), k)
 
-  private[graft] def ssspIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
-    val (e, _, parts) = GraphOps.layoutForIteration(
+  private[graft] def ssspIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+    ssspIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), k)
+
+  private def ssspIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (e, _, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -572,12 +704,15 @@ object DocGraph {
    * [[graft.operators.Neighborhood.harmonic]] vs hyperBall).
    */
   def katzIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    katzIterEdges(spark, edges(spark, sfDir), k)
+    katzIterLaid(spark, laidDirected(spark, sfDir), k)
 
-  private[graft] def katzIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
-    val (e, _, parts) = GraphOps.layoutForIteration(
+  private[graft] def katzIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+    katzIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), k)
+
+  private def katzIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (e, _, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -649,13 +784,15 @@ object DocGraph {
    * shuffle profile, with the message volume shrinking as vertices settle.
    */
   def misIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    misIterEdges(spark, edges(spark, sfDir), k)
+    misIterLaid(spark, laidSym(spark, sfDir), k)
 
-  private[graft] def misIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
-    val sym = GraphOps.symmetrized(
-      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
-    val (e, _, parts) = GraphOps.layoutForIteration(sym,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private[graft] def misIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+    misIterLaid(spark, GraphOps.layoutForIteration(GraphOps.symmetrized(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
+      confParts(spark)), k)
+
+  private def misIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (e, _, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -738,13 +875,15 @@ object DocGraph {
    * actions per round, ONE materializing action for the whole chain.
    */
   def colorIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    colorIterEdges(spark, edges(spark, sfDir), k)
+    colorIterLaid(spark, laidSym(spark, sfDir), k)
 
-  private[graft] def colorIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
-    val sym = GraphOps.symmetrized(
-      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
-    val (e, _, parts) = GraphOps.layoutForIteration(sym,
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private[graft] def colorIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+    colorIterLaid(spark, GraphOps.layoutForIteration(GraphOps.symmetrized(
+      edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
+      confParts(spark)), k)
+
+  private def colorIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (e, _, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -828,15 +967,18 @@ object DocGraph {
    * O(|V|) and stays shuffle-hash-pinned like every iterative driver here.
    */
   def matchIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    matchIterEdges(spark, edges(spark, sfDir), k)
+    matchIterLaid(spark, laidUnd(spark, sfDir), k)
 
   private[graft] def matchIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
     val und0 = GraphOps.undirected(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
     // layoutForIteration wants (src, dst); partition on the a-side key
-    val (eu, _, parts) = GraphOps.layoutForIteration(
-      und0.select(col("a").as("src"), col("b").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    matchIterLaid(spark, GraphOps.layoutForIteration(
+      und0.select(col("a").as("src"), col("b").as("dst")), confParts(spark)), k)
+  }
+
+  private def matchIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (eu, _, parts) = laid
     val und = eu.select(col("src").as("a"), col("dst").as("b"))
     val verts = GraphOps.vertices(eu).repartition(parts, col("vid"))
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
@@ -923,12 +1065,15 @@ object DocGraph {
    * distance vid→landmark.
    */
   def landmarkIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    landmarkIterEdges(spark, edges(spark, sfDir), k)
+    landmarkIterLaid(spark, laidReversed(spark, sfDir), k)
 
-  private[graft] def landmarkIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
-    val (e, _, parts) = GraphOps.layoutForIteration(
+  private[graft] def landmarkIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+    landmarkIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), k)
+
+  private def landmarkIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
+    val (e, _, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
     def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -990,7 +1135,7 @@ object DocGraph {
    * (the value the final selection used) — exact integers.
    */
   def kcoreIter(spark: SparkSession, sfDir: String, kCore: Int, rounds: Int): DataFrame =
-    kcoreIterEdges(spark, edges(spark, sfDir), kCore, rounds)
+    kcoreIterLaid(spark, laidSym(spark, sfDir), kCore, rounds)
 
   /** [[kcoreIter]] core on an explicit edge table. Like BFS, peeling needs
     * no per-round driver scalar, so rounds chain LAZY checkpoints (plan
@@ -998,12 +1143,16 @@ object DocGraph {
     * action materializes the chain; per-round cost is two semi-joins against
     * the src-partitioned cached symmetric edges + one degree aggregate. */
   private[graft] def kcoreIterEdges(spark: SparkSession, edges0: DataFrame,
-                                    kCore: Int, rounds: Int): DataFrame = {
-    require(rounds >= 1, "need at least one peel round")
-    val (sym, _, parts) = GraphOps.layoutForIteration(
+                                    kCore: Int, rounds: Int): DataFrame =
+    kcoreIterLaid(spark, GraphOps.layoutForIteration(
       GraphOps.symmetrized(edges0.select(
         col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), kCore, rounds)
+
+  private def kcoreIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int),
+                            kCore: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one peel round")
+    val (sym, _, parts) = laid
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var surv = GraphOps.vertices(sym).repartition(parts, col("vid"))
       .localCheckpoint(false)
@@ -1054,14 +1203,19 @@ object DocGraph {
    */
   def wprIter(spark: SparkSession, sfDir: String, k: Int,
               d: Double = 0.85): DataFrame =
-    wprIterEdges(spark, edges(spark, sfDir), k, d)
+    wprIterLaid(spark, laidDirected(spark, sfDir), k, d)
 
   private[graft] def wprIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
                                   d: Double = 0.85,
-                                  broadcastMaxRows: Long = 500000L): DataFrame = {
-    val (e0, _, parts) = GraphOps.layoutForIteration(
+                                  broadcastMaxRows: Long = 500000L): DataFrame =
+    wprIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      confParts(spark)), k, d, broadcastMaxRows)
+
+  private def wprIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+                          d: Double = 0.85,
+                          broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e0, _, parts) = laid
     val e = e0.withColumn("w", (col("src") + col("dst")) % 5L + 1L)
     val outS = e.groupBy(col("src").as("vid")).agg(sum(col("w")).as("outS"))
       .repartition(parts, col("vid"))

@@ -97,11 +97,12 @@ object Neighborhood {
    * the HLL estimate sum within `tol` — and (t, −1, est_sum > 0) for
    * kExact < t ≤ k. Each expansion superstep of either path executes
    * exactly ONCE (per-radius calls to [[exactBall]]/[[hyperBall]] re-run
-   * 1+2+…+k rounds); per-round states checkpoint eagerly so every radius'
-   * one-row aggregate reads shared blocks, and the aggregates themselves
-   * checkpoint so the Θ(Σ|B_t|) intermediates are freed before returning.
-   * The eager per-round actions are the documented cost of an aggregate
-   * curve — this is a measurement query, not a superstep driver.
+   * 1+2+…+k rounds); per-round states checkpoint LAZILY and each radius'
+   * eagerly-checkpointed one-row aggregate is the action that materializes
+   * them (one driver action per radius, r6 — formerly two), so every later
+   * radius reads shared cached blocks and the Θ(Σ|B_t|) intermediates are
+   * freed before returning. This is a measurement query, not a superstep
+   * driver: the per-radius aggregate action is its documented cost.
    */
   def nfCurve(verts: DataFrame, edges: DataFrame, kExact: Int, k: Int,
               tol: Double): DataFrame = {
@@ -111,16 +112,20 @@ object Neighborhood {
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var reach = verts.select(col("vid").as("src"), col("vid").as("dst"))
     val nfEx = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // r6: per-round states checkpoint LAZILY — the radius' one-row aggregate
+    // (eagerly checkpointed) is the action that materializes the round's
+    // blocks, so the next round reads them cached. Halves the driver
+    // actions per radius vs the former eager-state + eager-aggregate pair.
     for (t <- 1 to kExact) {
       val step = reach.join(e, col("dst") === col("e_src"))
         .select(col("src"), col("e_dst").as("dst"))
-      reach = reach.union(step).distinct().localCheckpoint(true)
+      reach = reach.union(step).distinct().localCheckpoint(false)
       inter += reach
       nfEx += reach.agg(count(lit(1)).as("nf_exact"))
         .select(lit(t.toLong).as("t"), col("nf_exact")).localCheckpoint(true)
     }
     var b = verts.select(col("vid"), HllExprs.hllInit(col("vid")).as("reg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     inter += b
     val estSums = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (t <- 1 to k) {
@@ -128,7 +133,7 @@ object Neighborhood {
         .select(col("e_src").as("vid"), col("reg"))
       b = in.unionByName(b)
         .groupBy("vid").agg(HllExprs.hllUnionAgg(col("reg")).as("reg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       inter += b
       estSums += b.agg(sum(HllExprs.hllEstimate(col("reg"))).as("est_sum"))
         .select(lit(t.toLong).as("t"), col("est_sum")).localCheckpoint(true)

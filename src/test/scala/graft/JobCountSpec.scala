@@ -59,18 +59,18 @@ class JobCountSpec extends SparkSpec {
     assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
   }
 
-  test("HashMin CC: exactly one job per extra superstep") {
+  test("HashMin CC: exactly one job per strided superstep PAIR (r6)") {
     val e = pathEdges(noAqe)
-    val j3 = jobsDuring { ConnectedComponents.run(noAqe, e, maxIter = 3, broadcastMaxRows = 0L) }
-    val j6 = jobsDuring { ConnectedComponents.run(noAqe, e, maxIter = 6, broadcastMaxRows = 0L) }
-    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+    val j4 = jobsDuring { ConnectedComponents.run(noAqe, e, maxIter = 4, broadcastMaxRows = 0L) }
+    val j8 = jobsDuring { ConnectedComponents.run(noAqe, e, maxIter = 8, broadcastMaxRows = 0L) }
+    assert(j8 - j4 == 2, s"expected 1 job per 2 supersteps, got j4=$j4 j8=$j8")
   }
 
-  test("label propagation: exactly one job per extra superstep") {
+  test("label propagation: exactly one job per strided superstep PAIR (r6)") {
     val e = pathEdges(noAqe)
-    val j3 = jobsDuring { LabelPropagation.run(noAqe, e, maxIter = 3, broadcastMaxRows = 0L) }
-    val j6 = jobsDuring { LabelPropagation.run(noAqe, e, maxIter = 6, broadcastMaxRows = 0L) }
-    assert(j6 - j3 == 3, s"expected 1 job/superstep, got j3=$j3 j6=$j6")
+    val j4 = jobsDuring { LabelPropagation.run(noAqe, e, maxIter = 4, broadcastMaxRows = 0L) }
+    val j8 = jobsDuring { LabelPropagation.run(noAqe, e, maxIter = 8, broadcastMaxRows = 0L) }
+    assert(j8 - j4 == 2, s"expected 1 job per 2 supersteps, got j4=$j4 j8=$j8")
   }
 
   test("personalized PageRank: exactly one job per extra superstep") {

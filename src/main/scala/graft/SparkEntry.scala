@@ -157,13 +157,23 @@ object SparkEntry {
       .withColumn("k", explode(array(lit(1L), lit(2L), lit(3L))))
       .select(col("a"), (col("a") + col("k")).as("b"))
       .join(dd.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    // r6: the pair set is tiny (near-dup pairs of a ±3-id band) and feeds an
+    // iterative engine — materialize it ONCE (eager checkpoint) so the CC
+    // layout doesn't re-run the shingle pipeline, count it for an exact
+    // layout estimate, and hand CC a single-exchange laid symmetric table
+    // (both orientations of a<b pairs are distinct by construction).
     val pairs = Dedup.jaccardCounts(dd, cand, "doc_id", "text")
       .select(col("a"), col("b"),
         call_function("div", col("inter") * lit(1000000L),
           col("sza") + col("szb") - col("inter")).as("ppm"))
       .filter(col("ppm") >= 8000L)
-    val cc = ConnectedComponents.run(s,
-      pairs.select(col("a").as("src"), col("b").as("dst")))
+      .localCheckpoint(true)
+    val dirPairs = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val cc = ConnectedComponents.runLaid(s,
+      GraphOps.layoutDedupForIteration(
+        dirPairs.unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))),
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        estEdges = 2L * pairs.count()))
     docs(s, d).select(col("doc_id"))
       .join(cc.withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -168,11 +168,12 @@ object GraphOps {
    * on it, and the returned count is the exact materialized |E|.
    */
   def layoutDedupForIteration(rawEdges: DataFrame, confParts: Int,
-                              estEdges: Long): (DataFrame, Long, Int) = {
+                              estEdges: Long,
+                              keyCol: String = "src"): (DataFrame, Long, Int) = {
     val p = rightSizedParts(estEdges, confParts)
-    val laid = rawEdges.repartition(p, col("src"))
+    val laid = rawEdges.repartition(p, col(keyCol))
       .dropDuplicates("src", "dst")
-      .sortWithinPartitions("src")
+      .sortWithinPartitions(keyCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     (laid, laid.count(), p)
   }

@@ -43,9 +43,12 @@ object WlRefine {
   /** [[refine]] core over a pre-laid-out symmetric edge table (cached,
     * src-hash-partitioned — e.g. DocGraph.laidSym's one-exchange layout). */
   private[graft] def refineLaid(spark: SparkSession, laidSym: (DataFrame, Long, Int),
-                                k: Int): DataFrame = {
-    val (e, _, parts) = laidSym
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+                                k: Int, broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laidSym
+    // r6 crossover pin sized from the laid |E|: below it the O(|V|) state
+    // sides broadcast instead of re-shuffling per round; beyond it inert
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     // color_0 = symmetric degree (every vertex of sym appears as a src)
     var st = e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("c"))
       .localCheckpoint(true)

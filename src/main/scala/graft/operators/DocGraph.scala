@@ -64,6 +64,14 @@ object DocGraph {
     GraphOps.layoutDedupForIteration(rawEdges(spark, sfDir),
       confParts(spark), estEdges(spark, sfDir))
 
+  /** [[laidDirected]] partitioned on `dst` instead of `src` — the layout the
+    * broadcast-regime fixed-k PageRank wants: its per-superstep groupBy(dst)
+    * lands on the cached partitioning (zero exchange), while the rank side
+    * ships as a broadcast hash relation and never needs src clustering. */
+  private[graft] def laidDirectedDst(spark: SparkSession, sfDir: String): (DataFrame, Long, Int) =
+    GraphOps.layoutDedupForIteration(rawEdges(spark, sfDir),
+      confParts(spark), estEdges(spark, sfDir), keyCol = "dst")
+
   /** Directed doc edges REVERSED (dst→src), laid out in one exchange —
     * the landmark driver's propagation orientation. */
   private[graft] def laidReversed(spark: SparkSession, sfDir: String): (DataFrame, Long, Int) =
@@ -121,8 +129,16 @@ object DocGraph {
    * points that plain `round` hits when ranks are short decimal fractions —
    * making the integer comparison robust cross-engine.
    */
-  def prIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
-    prIterLaid(spark, laidDirected(spark, sfDir), k)
+  def prIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    // below the broadcast crossover, lay the edges by DST and broadcast the
+    // O(|V|) sides: the superstep then has zero exchanges (the groupBy(dst)
+    // reuses the cached layout); beyond it, src layout + co-partitioned SHJ
+    val bmr = 500000L
+    if (estEdges(spark, sfDir) <= bmr)
+      prIterLaid(spark, laidDirectedDst(spark, sfDir), k, broadcastPins = true)
+    else
+      prIterLaid(spark, laidDirected(spark, sfDir), k, broadcastPins = false)
+  }
 
   /**
    * Fixed-k PageRank as a ZERO-actions-per-superstep lazy localCheckpoint
@@ -143,8 +159,14 @@ object DocGraph {
    * goldens, resume); this is the fixed-k oracle path only.
    */
   private[graft] def prIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int),
-                                k: Int, d: Double = 0.85): DataFrame = {
+                                k: Int, d: Double = 0.85,
+                                broadcastPins: Boolean = false): DataFrame = {
     val (e, _, parts) = laid
+    // pin the O(|V|) sides to match the caller's layout choice: broadcast
+    // (dst-laid edges, zero-exchange superstep) below the crossover,
+    // co-partitioned shuffle-hash (src-laid edges) beyond it
+    def pin(df: DataFrame): DataFrame =
+      if (broadcastPins) broadcast(df) else df.hint("shuffle_hash")
     val outdeg = GraphOps.outDegrees(e).repartition(parts, col("vid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
@@ -166,12 +188,12 @@ object DocGraph {
         .withColumn("__k", (col("tm") * 0).cast("int"))
       val rankDeg = r.filter(col("outDeg").isNotNull)
         .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
-      val sums = e.join(rankDeg.hint("shuffle_hash"), e("src") === rankDeg("vid"))
+      val sums = e.join(pin(rankDeg), e("src") === rankDeg("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("w")).as("s"))
       val dang = greatest(lit(0.0), lit(1.0) - col("tm"))
       val base = lit(1.0 - d) / lit(n.toDouble) + (lit(d) * dang) / lit(n.toDouble)
       val newRank = base + lit(d) * coalesce(col("s"), lit(0.0))
-      val next = r.join(sums.hint("shuffle_hash"), r("vid") === sums("dvid"), "left")
+      val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
         .withColumn("__k", (r("vid") * 0).cast("int"))
         .join(broadcast(tm), Seq("__k"))
         .select(r("vid"), newRank.as("rank"), r("outDeg"))
@@ -248,47 +270,57 @@ object DocGraph {
   private def pprIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
                           d: Double = 0.85,
                           broadcastMaxRows: Long = 500000L): DataFrame = {
-    val (e, _, parts) = laid
+    val (e, nE, parts) = laid
     val outdeg = GraphOps.outDegrees(e).repartition(parts, col("vid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nS = verts.filter(col("vid") % 100 === 0).count().toDouble
     require(nS > 0, "no seed vertices")
-    val nV = verts.count()
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
     def pin(df: DataFrame): DataFrame =
-      if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
 
-    // bootstrap: seed state + its transmitted mass in one materializing agg
+    // r6: ZERO driver actions per superstep (prIterLaid's deferral) — the
+    // dangling term moves IN-PLAN as a one-row transmitted-mass aggregate of
+    // the previous state, attached by a broadcast HASH join on a degenerate
+    // non-foldable key; arithmetic order mirrors the former driver scalar
+    // term by term, so only the e7-absorbed summation-order drift changes.
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = verts.join(outdeg, Seq("vid"), "left")
       .select(col("vid"),
         when(col("vid") % 100 === 0, lit(1.0 / nS)).otherwise(lit(0.0)).as("r"),
         col("outDeg"))
       .localCheckpoint(false)
-    var transmitted = scalarSum(r.filter(col("outDeg").isNotNull), "r", ifEmpty = 0.0)
+    inter += r
 
     for (_ <- 1 to k) {
-      val dm = 1.0 - transmitted
+      val tm = r.filter(col("outDeg").isNotNull)
+        .agg(sum(col("r")).as("tm"))
+        .select(coalesce(col("tm"), lit(0.0)).as("tm"))
+        .withColumn("__k", (col("tm") * 0).cast("int"))
       val rankDeg = r.filter(col("outDeg").isNotNull)
         .select(col("vid"), (col("r") / col("outDeg")).as("w"))
       val sums = e.join(pin(rankDeg), e("src") === rankDeg("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("w")).as("s"))
+      val dmTerm = (lit(d) * (lit(1.0) - col("tm"))) / lit(nS)
       val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+        .withColumn("__k", (r("vid") * 0).cast("int"))
+        .join(broadcast(tm), Seq("__k"))
         .select(r("vid"),
           (when(r("vid") % 100 === 0,
-            lit((1.0 - d) / nS) + lit(d * dm / nS)).otherwise(lit(0.0))
+            lit((1.0 - d) / nS) + dmTerm).otherwise(lit(0.0))
             + lit(d) * coalesce(col("s"), lit(0.0))).as("r"),
           r("outDeg"))
-      val mat = next.localCheckpoint(false)
-      // ONE closing job: materializes the checkpoint AND yields next round's
-      // transmitted mass (dangling = 1 − transmitted, restarted at seeds)
-      transmitted = scalarSum(mat.filter(col("outDeg").isNotNull), "r", ifEmpty = 0.0)
-      GraphOps.freeCheckpoint(r)
-      r = mat
+      r = next.localCheckpoint(false)
+      inter += r
     }
-    e.unpersist(false); outdeg.unpersist(false); verts.unpersist(false)
-    r.select(col("vid"),
+    val out = r.select(col("vid"),
       floor(col("r") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"ppr${k}e7"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e.unpersist(false); outdeg.unpersist(false); verts.unpersist(false)
+    out
   }
 
   /** Oracle SQL for exactly k personalized-PageRank supersteps. `d` must
@@ -361,15 +393,16 @@ object DocGraph {
   }
 
   /**
-   * [[hitsIter]] core on an explicit edge table, ONE Spark job per half-step
-   * (VERDICT r4 #2 — the former shape ran ~6 driver actions per iteration).
-   * The trick mirroring PageRank.run: the normalizer each half-step needs is
-   * derivable from the PREVIOUS state's closing aggregate —
+   * [[hitsIter]] core on an explicit edge table, ZERO driver actions per
+   * half-step (r6; the r4 shape ran one job per half-step to fetch the
+   * normalizer). The identity is unchanged — the normalizer each half-step
+   * needs is derivable from the PREVIOUS state:
    * Σ_{(u→v)} h(u) = Σ_u h(u)·out(u) and Σ_{(u→v)} a(v) = Σ_v a(v)·in(v) —
    * so `h` rows carry the static nullable out-degree and `a` rows the
-   * in-degree, and each half-step's lazily-checkpointed state is
-   * materialized by the aggregate that yields the NEXT half-step's
-   * normalizer. Summation order differs from the oracle's Σ-of-groups by
+   * in-degree; r6 moves that one-row aggregate IN-PLAN (broadcast hash join
+   * on a degenerate non-foldable key, prIterLaid's deferral), making the
+   * whole k-iteration run a lazy checkpoint chain with one materializing
+   * action. Summation order differs from the oracle's Σ-of-groups by
    * ≲1e-15 relative; the e7 floor pins it (same discipline as prIter).
    */
   private[graft] def hitsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
@@ -390,29 +423,43 @@ object DocGraph {
     def weighted(df: DataFrame, score: String, deg: String): DataFrame =
       df.filter(col(deg).isNotNull).select((col(score) * col(deg)).as("ws"))
 
-    // bootstrap: h₀ = 1 with out-degrees; its closing agg yields Σ h₀·out
+    // r6: ZERO driver actions per half-step — each half-step's L1
+    // normalizer (Σ score·degree of the previous state) becomes an in-plan
+    // one-row aggregate attached by a broadcast hash join on a degenerate
+    // non-foldable key (prIterLaid's deferral); `coalesce(Σ, 1.0)` keeps
+    // the former ifEmpty semantics. Division order is unchanged — only the
+    // e7-absorbed summation order of the normalizer itself moves.
+    def normOf(df: DataFrame, score: String, deg: String): DataFrame =
+      weighted(df, score, deg).agg(sum(col("ws")).as("nrm"))
+        .select(coalesce(col("nrm"), lit(1.0)).as("nrm"))
+        .withColumn("__k", (col("nrm") * 0).cast("int"))
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var h = vertsOut
       .select(col("vid"), lit(1.0).as("h"), col("outDeg"))
       .localCheckpoint(false)
-    var aSum = scalarSum(weighted(h, "h", "outDeg"), "ws", ifEmpty = 1.0)
+    inter += h
     var a = h.select(col("vid"), col("h").as("a")) // overwritten in iteration 1
     for (_ <- 1 to k) {
+      val aNorm = normOf(h, "h", "outDeg")
       val ar = e.join(pin(h.select(col("vid"), col("h"))), e("src") === col("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("h")).as("s"))
       val nextA = vertsIn.join(pin(ar), col("vid") === ar("dvid"), "left")
-        .select(col("vid"), (coalesce(col("s"), lit(0.0)) / lit(aSum)).as("a"),
+        .withColumn("__k", (col("vid") * 0).cast("int"))
+        .join(broadcast(aNorm), Seq("__k"))
+        .select(col("vid"), (coalesce(col("s"), lit(0.0)) / col("nrm")).as("a"),
           col("inDeg"))
       val matA = nextA.localCheckpoint(false)
-      val hSum = scalarSum(weighted(matA, "a", "inDeg"), "ws", ifEmpty = 1.0)
+      inter += matA
+      val hNorm = normOf(matA, "a", "inDeg")
       val hr = e.join(pin(matA.select(col("vid"), col("a"))), e("dst") === col("vid"))
         .groupBy(e("src").as("svid")).agg(sum(col("a")).as("s"))
       val nextH = vertsOut.join(pin(hr), col("vid") === hr("svid"), "left")
-        .select(col("vid"), (coalesce(col("s"), lit(0.0)) / lit(hSum)).as("h"),
+        .withColumn("__k", (col("vid") * 0).cast("int"))
+        .join(broadcast(hNorm), Seq("__k"))
+        .select(col("vid"), (coalesce(col("s"), lit(0.0)) / col("nrm")).as("h"),
           col("outDeg"))
       val matH = nextH.localCheckpoint(false)
-      aSum = scalarSum(weighted(matH, "h", "outDeg"), "ws", ifEmpty = 1.0)
-      GraphOps.freeCheckpoint(h)
-      if (a.columns.contains("inDeg")) GraphOps.freeCheckpoint(a)
+      inter += matH
       h = matH
       a = matA
     }
@@ -421,8 +468,8 @@ object DocGraph {
         floor(col("a") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"auth${k}e7"),
         floor(col("h") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"hub${k}e7"))
       .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
     e.unpersist(false); vertsOut.unpersist(false); vertsIn.unpersist(false)
-    GraphOps.freeCheckpoint(a); GraphOps.freeCheckpoint(h)
     out
   }
 
@@ -561,19 +608,24 @@ object DocGraph {
    * fixed-k cost); the edge table is laid out and cached once so the single
    * job reads the scan once, not k times.
    */
-  private[graft] def bfsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+  private[graft] def bfsIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                  broadcastMaxRows: Long = 500000L): DataFrame =
     bfsIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      confParts(spark)), k)
+      confParts(spark)), k, broadcastMaxRows)
 
-  private def bfsIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (e, _, parts) = laid
+  private def bfsIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+      broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
-    // the dist side is always the FULL vertex set (not a shrinking frontier),
-    // so it is pinned to a shuffle-hash join against the src-partitioned
-    // cached edges — broadcasting O(|V|) state per superstep is the scale
-    // anti-pattern, and the deferred chain has no size stats to decide with
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // the dist side is always the FULL vertex set (not a shrinking frontier):
+    // broadcasting it per superstep is the scale anti-pattern, so beyond the
+    // crossover it stays shuffle-hash-pinned against the src-partitioned
+    // cached edges; below the crossover (laid |E| is a real size stat the
+    // former blanket pin lacked) the broadcast is cheap and removes the
+    // per-superstep state exchange (r6, see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var dist = verts.select(col("vid"),
       when(col("vid") % 100 === 0, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
@@ -636,15 +688,19 @@ object DocGraph {
   def ssspIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     ssspIterLaid(spark, laidDirected(spark, sfDir), k)
 
-  private[graft] def ssspIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+  private[graft] def ssspIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                   broadcastMaxRows: Long = 500000L): DataFrame =
     ssspIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      confParts(spark)), k)
+      confParts(spark)), k, broadcastMaxRows)
 
-  private def ssspIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (e, _, parts) = laid
+  private def ssspIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+      broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var dist = verts.select(col("vid"),
       when(col("vid") % 100 === 0, lit(0L)).otherwise(lit(null).cast("long")).as("d"))
@@ -706,15 +762,19 @@ object DocGraph {
   def katzIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     katzIterLaid(spark, laidDirected(spark, sfDir), k)
 
-  private[graft] def katzIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+  private[graft] def katzIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                   broadcastMaxRows: Long = 500000L): DataFrame =
     katzIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
-      confParts(spark)), k)
+      confParts(spark)), k, broadcastMaxRows)
 
-  private def katzIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (e, _, parts) = laid
+  private def katzIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+      broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var st = verts.select(col("vid"), lit(1L).as("w"), lit(0L).as("acc"))
       .localCheckpoint(false)
@@ -786,15 +846,19 @@ object DocGraph {
   def misIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     misIterLaid(spark, laidSym(spark, sfDir), k)
 
-  private[graft] def misIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+  private[graft] def misIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                  broadcastMaxRows: Long = 500000L): DataFrame =
     misIterLaid(spark, GraphOps.layoutForIteration(GraphOps.symmetrized(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
-      confParts(spark)), k)
+      confParts(spark)), k, broadcastMaxRows)
 
-  private def misIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (e, _, parts) = laid
+  private def misIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+      broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var st = verts.select(col("vid"), misPri(col("vid")).as("pri"),
       lit(0L).as("st")).localCheckpoint(false)
@@ -877,15 +941,19 @@ object DocGraph {
   def colorIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     colorIterLaid(spark, laidSym(spark, sfDir), k)
 
-  private[graft] def colorIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+  private[graft] def colorIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                    broadcastMaxRows: Long = 500000L): DataFrame =
     colorIterLaid(spark, GraphOps.layoutForIteration(GraphOps.symmetrized(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
-      confParts(spark)), k)
+      confParts(spark)), k, broadcastMaxRows)
 
-  private def colorIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (e, _, parts) = laid
+  private def colorIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+      broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var st = verts.select(col("vid"), misPri(col("vid")).as("pri"),
       lit(0L).as("color")).localCheckpoint(false)
@@ -969,19 +1037,28 @@ object DocGraph {
   def matchIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     matchIterLaid(spark, laidUnd(spark, sfDir), k)
 
-  private[graft] def matchIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+  private[graft] def matchIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                    broadcastMaxRows: Long = 500000L): DataFrame = {
     val und0 = GraphOps.undirected(
       edges0.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
     // layoutForIteration wants (src, dst); partition on the a-side key
     matchIterLaid(spark, GraphOps.layoutForIteration(
-      und0.select(col("a").as("src"), col("b").as("dst")), confParts(spark)), k)
+      und0.select(col("a").as("src"), col("b").as("dst")), confParts(spark)), k,
+      broadcastMaxRows)
   }
 
-  private def matchIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (eu, _, parts) = laid
+  private def matchIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+                            broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (eu, nE, parts) = laid
     val und = eu.select(col("src").as("a"), col("dst").as("b"))
     val verts = GraphOps.vertices(eu).repartition(parts, col("vid"))
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // r6 crossover pin (the house broadcast-or-SHJ rule, sized from the laid
+    // |E|): below the crossover the O(|V|)-state sides broadcast — the former
+    // blanket shuffle_hash pin re-shuffled them per round (the measured
+    // anti-pattern that once cost q_lp 3x); beyond it (state too big to
+    // ship) the co-partitioned SHJ path is unchanged and the pin is inert.
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var st = verts.select(col("vid"), lit(null).cast("long").as("mate"))
       .localCheckpoint(false)
@@ -1067,15 +1144,19 @@ object DocGraph {
   def landmarkIter(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     landmarkIterLaid(spark, laidReversed(spark, sfDir), k)
 
-  private[graft] def landmarkIterEdges(spark: SparkSession, edges0: DataFrame, k: Int): DataFrame =
+  private[graft] def landmarkIterEdges(spark: SparkSession, edges0: DataFrame, k: Int,
+                                       broadcastMaxRows: Long = 500000L): DataFrame =
     landmarkIterLaid(spark, GraphOps.layoutForIteration(
       edges0.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")),
-      confParts(spark)), k)
+      confParts(spark)), k, broadcastMaxRows)
 
-  private def landmarkIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int): DataFrame = {
-    val (e, _, parts) = laid
+  private def landmarkIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int), k: Int,
+      broadcastMaxRows: Long = 500000L): DataFrame = {
+    val (e, nE, parts) = laid
     val verts = GraphOps.vertices(e).repartition(parts, col("vid"))
-    def pin(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var dist = verts.filter(col("vid") % 97 === 0)
       .select(col("vid"), col("vid").as("seed"), lit(0L).as("d"))
@@ -1143,16 +1224,21 @@ object DocGraph {
     * action materializes the chain; per-round cost is two semi-joins against
     * the src-partitioned cached symmetric edges + one degree aggregate. */
   private[graft] def kcoreIterEdges(spark: SparkSession, edges0: DataFrame,
-                                    kCore: Int, rounds: Int): DataFrame =
+                                    kCore: Int, rounds: Int,
+                                    broadcastMaxRows: Long = 500000L): DataFrame =
     kcoreIterLaid(spark, GraphOps.layoutForIteration(
       GraphOps.symmetrized(edges0.select(
         col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))),
-      confParts(spark)), kCore, rounds)
+      confParts(spark)), kCore, rounds, broadcastMaxRows)
 
   private def kcoreIterLaid(spark: SparkSession, laid: (DataFrame, Long, Int),
-                            kCore: Int, rounds: Int): DataFrame = {
+                            kCore: Int, rounds: Int,
+                            broadcastMaxRows: Long = 500000L): DataFrame = {
     require(rounds >= 1, "need at least one peel round")
-    val (sym, _, parts) = laid
+    val (sym, nE, parts) = laid
+    // r6 crossover pin sized from the laid |E| (see matchIterLaid)
+    def pin(df: DataFrame): DataFrame =
+      if (nE <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var surv = GraphOps.vertices(sym).repartition(parts, col("vid"))
       .localCheckpoint(false)
@@ -1160,8 +1246,8 @@ object DocGraph {
     var deg: DataFrame = null
     for (_ <- 1 to rounds) {
       val alive = sym
-        .join(surv.hint("shuffle_hash"), sym("src") === surv("vid"), "left_semi")
-        .join(surv.withColumnRenamed("vid", "v2").hint("shuffle_hash"),
+        .join(pin(surv), sym("src") === surv("vid"), "left_semi")
+        .join(pin(surv.withColumnRenamed("vid", "v2")),
           col("dst") === col("v2"), "left_semi")
       deg = alive.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kCore)
@@ -1227,31 +1313,41 @@ object DocGraph {
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
 
+    // r6: ZERO driver actions per superstep — in-plan transmitted-mass
+    // scalar, prIterLaid's deferral (see pprIterLaid for the shape)
+    val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var r = verts.join(outS, Seq("vid"), "left")
       .select(col("vid"), lit(1.0 / nV).as("r"), col("outS"))
       .localCheckpoint(false)
-    var transmitted = scalarSum(r.filter(col("outS").isNotNull), "r", ifEmpty = 0.0)
+    inter += r
 
     for (_ <- 1 to k) {
-      val dm = 1.0 - transmitted
+      val tm = r.filter(col("outS").isNotNull)
+        .agg(sum(col("r")).as("tm"))
+        .select(coalesce(col("tm"), lit(0.0)).as("tm"))
+        .withColumn("__k", (col("tm") * 0).cast("int"))
       val state = r.filter(col("outS").isNotNull)
         .select(col("vid"), col("r"), col("outS"))
       val sums = e.join(pin(state), e("src") === state("vid"))
         .groupBy(e("dst").as("dvid"))
         .agg(sum(col("r") * col("w") / col("outS")).as("s"))
+      val dmTerm = (lit(d) * (lit(1.0) - col("tm"))) / lit(nV.toDouble)
       val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+        .withColumn("__k", (r("vid") * 0).cast("int"))
+        .join(broadcast(tm), Seq("__k"))
         .select(r("vid"),
-          (lit((1.0 - d) / nV) + lit(d * dm / nV)
+          (lit((1.0 - d) / nV) + dmTerm
             + lit(d) * coalesce(col("s"), lit(0.0))).as("r"),
           r("outS"))
-      val mat = next.localCheckpoint(false)
-      transmitted = scalarSum(mat.filter(col("outS").isNotNull), "r", ifEmpty = 0.0)
-      GraphOps.freeCheckpoint(r)
-      r = mat
+      r = next.localCheckpoint(false)
+      inter += r
     }
-    e0.unpersist(false); outS.unpersist(false); verts.unpersist(false)
-    r.select(col("vid"),
+    val out = r.select(col("vid"),
       floor(col("r") * lit(1.0e7) + lit(0.500001)).cast("long").as(s"wpr${k}e7"))
+      .localCheckpoint(true)
+    inter.foreach(GraphOps.freeCheckpoint)
+    e0.unpersist(false); outS.unpersist(false); verts.unpersist(false)
+    out
   }
 
   /** Oracle SQL for exactly k weighted-PageRank supersteps (see [[wprIter]]). */
@@ -1279,9 +1375,12 @@ object DocGraph {
     sb.toString
   }
 
-  /** Exactly k HashMin connected-component supersteps (exact integer labels). */
+  /** Exactly k HashMin connected-component supersteps (exact integer labels).
+    * r6: reads the one-exchange cached laid symmetric table — the former
+    * inline `symmetrized(edges(…))` subtree appeared k+1 times in the
+    * single-execution plan and paid its own dedup exchanges. */
   def ccIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val sym = GraphOps.symmetrized(edges(spark, sfDir))
+    val (sym, _, _) = laidSym(spark, sfDir)
     var labels = GraphOps.vertices(sym).select(col("vid"), col("vid").as("label"))
     for (_ <- 1 to k) {
       val msgs = sym.join(labels, sym("src") === labels("vid"))
@@ -1309,9 +1408,10 @@ object DocGraph {
     * arithmetic and the oracle SQL agree to <1e-15 per value, pinned by round(,7). */
 
   /** Exactly k synchronous label-propagation supersteps (LabelPropagation
-    * semantics: most frequent neighbor label, ties → smallest label). */
+    * semantics: most frequent neighbor label, ties → smallest label).
+    * r6: laid symmetric table, same rationale as [[ccIter]]. */
   def lpIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val sym = GraphOps.symmetrized(edges(spark, sfDir))
+    val (sym, _, _) = laidSym(spark, sfDir)
     var labels = GraphOps.vertices(sym).select(col("vid"), col("vid").as("label"))
     for (_ <- 1 to k) {
       val nbr = sym.join(labels, sym("src") === labels("vid"))

@@ -137,24 +137,23 @@ object PageRank {
       case s      => s
     }
 
-    // r6 (guide §2.4 — remove shuffles outright): in the zero-hub BROADCAST
-    // regime the superstep join does not need src clustering (the rank side
-    // ships as a hash relation), so the edges re-lay ONCE by `dst`: the
-    // per-superstep groupBy(dst) partial aggregation then lands on the
-    // cached partitioning and the superstep runs with NO shuffle at all —
-    // broadcast build + map-side chain + the tiny closing aggregate. One
-    // extra edge shuffle up front buys maxIter shuffle-free supersteps.
-    // Gated on hubCount == 0 because the salted contribution union discards
-    // partitioning metadata (the groupBy would exchange regardless —
-    // measured a wash on the hub-skewed salted leg, so the relayout is not
-    // paid there). The shuffle regime keeps the src layout (its join
-    // streams the cached edge side); raising the broadcast crossover past
-    // 500k rows was probed at the 2M-vertex headline and REJECTED: the
-    // per-superstep driver-side broadcast build (collect + hash relation of
-    // |V| rows) costs more than the contribution shuffle it replaces
-    // (13.1 s vs 11.3 s sum-of-supersteps, HeadlineProbe).
+    // r6 (guide §2.4 — remove shuffles outright): in the BROADCAST regime
+    // the superstep join does not need src clustering (the rank side ships
+    // as a hash relation), so the edges re-lay ONCE by `dst`: every
+    // per-destination partial aggregation — including the salted path's
+    // branch-wise hub/non-hub sums and their co-partitioned merge
+    // (Salting.contribSums) — lands on the cached partitioning and the
+    // superstep runs with NO shuffle at all: broadcast build + map-side
+    // chain + the tiny closing aggregate. One extra edge shuffle up front
+    // buys maxIter shuffle-free supersteps. The shuffle regime keeps the
+    // src layout (its join streams the cached edge side); raising the
+    // broadcast crossover past 500k rows was probed at the 2M-vertex
+    // headline and REJECTED: the per-superstep driver-side broadcast build
+    // (collect + hash relation of |V| rows) costs more than the
+    // contribution shuffle it replaces (13.1 s vs 11.3 s
+    // sum-of-supersteps, HeadlineProbe).
     val e =
-      if (strategy == "broadcast" && hubCount == 0) {
+      if (strategy == "broadcast") {
         val laid = eSrc.repartition(parts, col("dst")).sortWithinPartitions("dst")
           .persist(StorageLevel.MEMORY_AND_DISK)
         laid.count() // materialize from the cached src layout, then drop it
@@ -194,9 +193,10 @@ object PageRank {
       val rankDeg = ranks.filter(col("outDeg").isNotNull)
         .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
 
-      // per-destination partial sums (J1 + A1), hub-salted when needed (J4)
-      val contribs = Salting.contribJoin(e, rankDeg, hubs, hubCount, cfg.saltBuckets, strategy)
-      val sums = contribs.groupBy("dst").agg(sum(col("w")).as("s"))
+      // per-destination partial sums (J1 + A1), hub-salted when needed (J4);
+      // branch-wise aggregation + co-partitioned merge (r6) so the broadcast
+      // regime's dst layout carries the whole superstep shuffle-free
+      val sums = Salting.contribSums(e, rankDeg, hubs, hubCount, cfg.saltBuckets, strategy)
 
       val base = (1.0 - d) / n + d * dangling / n
       // both sides hash-partitioned on the key — pin SHJ so neither is sorted

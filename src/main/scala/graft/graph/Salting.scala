@@ -43,6 +43,55 @@ object Salting {
       case _              => df
     }
 
+  /**
+   * Per-destination contribution SUMS `(dst, s)` — [[contribJoin]] plus the
+   * closing aggregation, with the hub and non-hub branches PRE-aggregated
+   * separately and merged by union + re-aggregate (r6, guide §2.3
+   * "aggregate before you shuffle"): the former union-of-raw-contributions
+   * shuffled O(|E|) rows; here each branch reduces to ≤|V| per-destination
+   * partials first — on a dst-partitioned edge layout (the broadcast
+   * regime's) both partial aggregations run exchange-free, and only the
+   * merged partials cross the wire. The merge deliberately uses UNION, not
+   * a join of the two aggregated branches: plan-stat estimation SUMS a
+   * union's sizeInBytes but MULTIPLIES a join's, and a per-superstep join
+   * of two subtrees that both reference the previous superstep's
+   * checkpoint compounds the estimate exponentially across supersteps —
+   * measured as a Catalyst planning livelock (minutes of BigInteger
+   * arithmetic inside stats rewrite) by superstep ~20 when this merge was
+   * first written as a full-outer join. Summation order differs from the
+   * single-aggregate form by one extra add level per hub destination —
+   * inside every caller's pinned tolerance (goldens 1e-9, e7/round-7
+   * oracles).
+   */
+  def contribSums(edges: DataFrame, rankDeg0: DataFrame,
+                  hubs: DataFrame, hubCount: Long, saltBuckets: Int,
+                  strategy: String = "auto"): DataFrame = {
+    if (hubCount == 0 || saltBuckets <= 1) {
+      val rankDeg = applyStrategy(rankDeg0, strategy)
+      edges.join(rankDeg, edges("src") === rankDeg("vid"))
+        .select(edges("dst"), rankDeg("w"))
+        .groupBy("dst").agg(sum(col("w")).as("s"))
+    } else {
+      val h = broadcast(hubs.select(col("vid").as("hub")))
+      val hubEdges = edges.join(h, edges("src") === h("hub"), "left_semi")
+        .withColumn("salt", pmod(xxhash64(col("dst")), lit(saltBuckets)).cast("int"))
+      val restEdges = edges.join(h, edges("src") === h("hub"), "left_anti")
+      val hubRanks = broadcast(
+        rankDeg0.join(h, rankDeg0("vid") === h("hub"), "left_semi")
+          .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1)))))
+      val hubSums = hubEdges.join(hubRanks,
+          hubEdges("src") === hubRanks("vid") && hubEdges("salt") === hubRanks("salt"))
+        .select(hubEdges("dst"), hubRanks("w"))
+        .groupBy("dst").agg(sum(col("w")).as("s"))
+      val rankDeg = applyStrategy(rankDeg0, strategy)
+      val restSums = restEdges.join(rankDeg, restEdges("src") === rankDeg("vid"))
+        .select(restEdges("dst"), rankDeg("w"))
+        .groupBy("dst").agg(sum(col("w")).as("s"))
+      restSums.unionByName(hubSums)
+        .groupBy("dst").agg(sum(col("s")).as("s"))
+    }
+  }
+
   def contribJoin(edges: DataFrame, rankDeg0: DataFrame,
                   hubs: DataFrame, hubCount: Long, saltBuckets: Int,
                   strategy: String = "auto"): DataFrame = {

@@ -161,11 +161,14 @@ object StronglyConnectedComponents {
             .select(e("dst").as("vid"), st("l"), lit(null).cast("long").as("old")),
           (l, old) => l < old, min)
         // 3. backward confirmation over color-homogeneous edges (flag as `l`)
+        // lazy: the backward propagate's first counting aggregate
+        // materializes these blocks (f is still alive then — it is freed
+        // only after `found` materializes), saving one driver action (r6)
         val he = e
           .join(pin(f.select(col("vid").as("src"), col("l").as("fs"))), Seq("src"))
           .join(pin(f.select(col("vid").as("dst"), col("l").as("fd"))), Seq("dst"))
           .filter(col("fs") === col("fd"))
-          .select(col("src"), col("dst")).localCheckpoint(true)
+          .select(col("src"), col("dst")).localCheckpoint(false)
         val fl = propagate(
           f.select(col("vid"), when(col("vid") === col("l"), 1L).otherwise(0L).as("l")),
           st => he.join(pin(st), he("dst") === st("vid"))

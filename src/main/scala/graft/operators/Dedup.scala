@@ -76,37 +76,39 @@ object Dedup {
 
   /**
    * Exact n-gram intersection/size counts for given candidate pairs (a, b):
-   * semi-join the corpus down to ids that appear in any candidate, THEN
-   * explode shingle sets and count intersections with one equi-join +
-   * groupBy. The semi-join is the scale guard: candidates are typically a
-   * tiny fraction of the corpus, so the O(docs × shingles) explode must
-   * never run corpus-wide. Returns (a, b, inter, sza, szb).
+   * semi-join the corpus down to ids that appear in any candidate, compute
+   * ONE distinct-shingle-hash ARRAY per doc, and take per-pair
+   * `size(array_intersect)` in pure whole-stage codegen. Returns
+   * (a, b, inter, sza, szb).
+   *
+   * r6 rewrite (guide §2.3 "shuffle keys and metadata instead of payloads" +
+   * §4 expression choice): the former shape exploded the shingle sets into a
+   * row-per-shingle table and counted intersections with two shingle-keyed
+   * joins + a groupBy — shuffling ~|shingles per doc|× more rows than docs
+   * and re-running the tokenize+hash projection per consumer. Here the
+   * shingle set never leaves its row: two doc-keyed joins attach the arrays
+   * to each pair and `array_intersect` (codegen, sort-merge over two small
+   * arrays) does the counting, with zero shingle-keyed shuffle. Equivalence:
+   * `shingleHashes` is distinct by construction, and both the old row form
+   * and this set form count distinct shared shingle HASHES — identical under
+   * the same no-hash-collision premise the string-based oracle comparison
+   * already rests on. The candidate semi-join remains the scale guard:
+   * arrays are built only for docs appearing in some pair.
    */
   def jaccardCounts(docs: DataFrame, candidates: DataFrame,
                     idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val candIds = candidates.select(col("a").as("cid"))
       .union(candidates.select(col("b").as("cid")))
       .distinct()
-    val cdocs = docs.select(col(idCol).as("id"), col(textCol))
+    val arr = docs.select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
       .join(candIds, col("id") === col("cid"), "left_semi")
-    // r6: the shingle table feeds THREE consumers (per-doc sizes + both join
-    // sides of the intersection count); without the cache each one re-runs
-    // the tokenize+hash explode — the most expensive projection in the
-    // pipeline — per reference. Lazy persist: no extra action, populated by
-    // whichever consumer stage runs first, released by the caller's session
-    // hygiene (bench clears cache between queries).
-    val sh = cdocs.select(col("id"), explode(shingleHashes(col(textCol), k)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.as("sa"), col("a") === col("sa.id"))
-      .join(sh.as("sb"), col("b") === col("sb.id") && col("sa.s") === col("sb.s"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-    candidates.join(inter, Seq("a", "b"), "left")
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+    candidates
+      .join(arr.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(arr.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
-        coalesce(col("n_inter"), lit(0L)).as("inter"), col("sza"), col("szb"))
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("sza"),
+        size(col("shb")).cast("long").as("szb"))
   }
 
   /**
@@ -127,8 +129,12 @@ object Dedup {
    */
   def contamination(docs: DataFrame, isBenchmark: Column,
                     idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // r6: three consumers (benchmark union, per-doc sizes, the semi-join
+    // probe side) each re-ran the tokenize+hash explode — lazy persist
+    // computes it once; released by the caller's session hygiene
     val sh = docs.select(col(idCol).as("id"), isBenchmark.as("bench"),
         explode(shingleHashes(col(textCol), k)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchSh = sh.filter(col("bench")).select(col("s")).distinct()
     val corp = sh.filter(!col("bench"))
     val sizes = corp.groupBy("id").agg(count(lit(1)).as("n_sh"))
@@ -281,8 +287,12 @@ object Dedup {
         v
       }
     }
+    // r6: materialize the block table ONCE — each side of the self-join
+    // otherwise re-runs the tokenize+simhash projection (the pipeline's
+    // expensive part); one eager checkpoint of 4·|docs| narrow rows
     val blocks = sigs.select(col("id"), col("sig"), posexplode(array(blockVals: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bval")
+      .localCheckpoint(true)
     blocks.as("x").join(blocks.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col("x.id") < col("y.id"))

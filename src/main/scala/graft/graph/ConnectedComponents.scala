@@ -45,10 +45,11 @@ object ConnectedComponents {
                              maxIter: Int = 100,
                              broadcastMaxRows: Long = 500000L): DataFrame = {
     val (sym, _, parts) = laidSym
+    // lazy: the |V| count below is the materializing action (r6)
     var labels = GraphOps.vertices(sym)
       .select(col("vid"), col("vid").as("label"))
       .repartition(parts, col("vid"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // same broadcast-or-shuffle-hash selection as PageRank: broadcast the
     // O(|V|) label side while it fits, co-partitioned SHJ beyond — never SMJ

@@ -69,7 +69,8 @@ object StronglyConnectedComponents {
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     // self-loops are SCC-irrelevant (v is always in its own SCC) but their
     // endpoints are still vertices
-    var v = GraphOps.vertices(edges).repartition(parts, col("vid")).localCheckpoint(true)
+    // lazy: the |V| count on the next line is the materializing action (r6)
+    var v = GraphOps.vertices(edges).repartition(parts, col("vid")).localCheckpoint(false)
     var nV = v.count()
     def pin(df: DataFrame): DataFrame =
       if (nV <= broadcastMaxRows) broadcast(df) else df.hint("shuffle_hash")
@@ -88,7 +89,8 @@ object StronglyConnectedComponents {
     def propagate(init: DataFrame, labelOf: DataFrame => DataFrame,
                   better: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
                   fold: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-      var st = init.repartition(parts, col("vid")).localCheckpoint(true)
+      // lazy: the first stride's counting aggregate materializes it (r6)
+      var st = init.repartition(parts, col("vid")).localCheckpoint(false)
       var changed = 1L
       while (changed > 0) {
         // superstep A: lazy, label-only

@@ -174,6 +174,10 @@ object SparkEntry {
         dirPairs.unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))),
         s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         estEdges = 2L * pairs.count()))
+    // cc's labels are materialized and the laid pair table is unpersisted by
+    // runLaid, so the pair checkpoint has no live reader left — free it
+    // (eager-checkpoint blocks survive clearCache; Verify never clears)
+    GraphOps.freeCheckpoint(pairs)
     docs(s, d).select(col("doc_id"))
       .join(cc.withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -166,6 +166,13 @@ object GraphOps {
    * distinct-first shape so partial aggregation shrinks the shuffle.
    * The estimate only picks the partition count — correctness never depends
    * on it, and the returned count is the exact materialized |E|.
+   *
+   * Lifetime: callers whose output is EAGERLY materialized unpersist the
+   * laid table on return; callers returning LAZY plans over it (truss peel,
+   * neighborhood loops, fixed-k ccIter/lpIter) cannot, and rely on session
+   * cache hygiene (the bench clears the cache between queries; a Verify
+   * sweep accumulates these small cached tables for its lifetime — stated,
+   * bounded by table count × the laid edge size).
    */
   def layoutDedupForIteration(rawEdges: DataFrame, confParts: Int,
                               estEdges: Long,
@@ -177,6 +184,25 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     (laid, laid.count(), p)
   }
+
+  /**
+   * Attach a one-row scalar frame to EVERY row of `df` as a broadcast HASH
+   * join on a degenerate NON-foldable key: both sides key on `attr * 0`
+   * (always 0, but an attribute expression, so constant folding cannot
+   * collapse the join condition to `true` — a literal key folds and plans
+   * as the banned BroadcastNestedLoopJoin). This is the r6 idiom behind the
+   * zero-actions-per-superstep drivers' in-plan dangling-mass / normalizer
+   * scalars; keep the BNLJ-avoidance reasoning HERE, in one audited place.
+   * `keyAttr` / `scalarKeyAttr` must be numeric columns of their frames and
+   * non-NaN (NaN*0 = NaN would unmatch the key) — vertex ids and
+   * coalesced sums qualify.
+   */
+  def attachScalar(df: DataFrame, keyAttr: Column,
+                   scalar: DataFrame, scalarKeyAttr: Column): DataFrame =
+    df.withColumn("__k", (keyAttr * 0).cast("int"))
+      .join(broadcast(scalar.withColumn("__k", (scalarKeyAttr * 0).cast("int"))),
+        Seq("__k"))
+      .drop("__k")
 
   /**
    * Free the block-store storage of a `localCheckpoint`ed DataFrame. The

@@ -132,9 +132,12 @@ object DocGraph {
   def prIter(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     // below the broadcast crossover, lay the edges by DST and broadcast the
     // O(|V|) sides: the superstep then has zero exchanges (the groupBy(dst)
-    // reuses the cached layout); beyond it, src layout + co-partitioned SHJ
+    // reuses the cached layout); beyond it, src layout + co-partitioned SHJ.
+    // The crossover compares |V| (= nDocs, rank rows are one per vertex)
+    // against the row threshold — PageRank.run's exact rule, not the 4×-
+    // conservative edge estimate (r6 review fix).
     val bmr = 500000L
-    if (estEdges(spark, sfDir) <= bmr)
+    if (nDocs(spark, sfDir) <= bmr)
       prIterLaid(spark, laidDirectedDst(spark, sfDir), k, broadcastPins = true)
     else
       prIterLaid(spark, laidDirected(spark, sfDir), k, broadcastPins = false)
@@ -179,13 +182,12 @@ object DocGraph {
       .localCheckpoint(false)
     inter += r
     for (_ <- 1 to k) {
-      // transmitted mass of the current state, as a 1-row side table; the
-      // degenerate `attr*0` key survives constant folding as an attribute,
-      // so the scalar attach plans as a broadcast HASH join
+      // transmitted mass of the current state, as a 1-row side table
+      // attached by GraphOps.attachScalar (broadcast HASH join on a
+      // degenerate non-foldable key — the audited BNLJ-free idiom)
       val tm = r.filter(col("outDeg").isNotNull)
         .agg(sum(col("rank")).as("tm"))
         .select(coalesce(col("tm"), lit(0.0)).as("tm"))
-        .withColumn("__k", (col("tm") * 0).cast("int"))
       val rankDeg = r.filter(col("outDeg").isNotNull)
         .select(col("vid"), (col("rank") / col("outDeg")).as("w"))
       val sums = e.join(pin(rankDeg), e("src") === rankDeg("vid"))
@@ -193,11 +195,17 @@ object DocGraph {
       val dang = greatest(lit(0.0), lit(1.0) - col("tm"))
       val base = lit(1.0 - d) / lit(n.toDouble) + (lit(d) * dang) / lit(n.toDouble)
       val newRank = base + lit(d) * coalesce(col("s"), lit(0.0))
-      val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
-        .withColumn("__k", (r("vid") * 0).cast("int"))
-        .join(broadcast(tm), Seq("__k"))
+      val joined = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+      val next = GraphOps.attachScalar(joined, r("vid"), tm, col("tm"))
         .select(r("vid"), newRank.as("rank"), r("outDeg"))
-      r = next.localCheckpoint(false)
+      // broadcast regime: fully lazy chain (zero actions per superstep).
+      // Shuffle regime (big graphs): EAGER per-superstep checkpoint — the
+      // scalar broadcast build otherwise becomes the job that materializes
+      // the whole previous superstep inside spark.sql.broadcastTimeout
+      // (300 s), a failure mode the per-superstep work of a 100 TB graph
+      // could genuinely hit; there the one driver action per superstep is
+      // noise against the superstep's own shuffle (r6 review fix).
+      r = next.localCheckpoint(!broadcastPins)
       inter += r
     }
     val out = r.select(col("vid"),
@@ -229,13 +237,9 @@ object DocGraph {
     sb.toString
   }
 
-  /** Nullable global double sum as a driver scalar — the one audited idiom
-    * behind the fixed-k iterative drivers' normalization/dangling terms
-    * (`ifEmpty` covers the empty-frontier case each caller documents). */
-  private def scalarSum(df: DataFrame, c: String, ifEmpty: Double): Double = {
-    val r = df.agg(sum(c)).first()
-    if (r.isNullAt(0)) ifEmpty else r.getDouble(0)
-  }
+  // (the former scalarSum driver helper is gone — every fixed-k driver's
+  // normalization/dangling scalar moved IN-PLAN via GraphOps.attachScalar,
+  // r6; see prIterLaid for the idiom and its eager/lazy regime)
 
   /**
    * Exactly k personalized-PageRank supersteps (random walk with restart to
@@ -294,25 +298,27 @@ object DocGraph {
       .localCheckpoint(false)
     inter += r
 
+    // broadcast regime: fully lazy; shuffle regime: eager per-superstep
+    // state so the scalar broadcast build never carries a whole superstep
+    // inside the broadcast timeout (see prIterLaid, r6 review fix)
+    val eagerState = nE > broadcastMaxRows
     for (_ <- 1 to k) {
       val tm = r.filter(col("outDeg").isNotNull)
         .agg(sum(col("r")).as("tm"))
         .select(coalesce(col("tm"), lit(0.0)).as("tm"))
-        .withColumn("__k", (col("tm") * 0).cast("int"))
       val rankDeg = r.filter(col("outDeg").isNotNull)
         .select(col("vid"), (col("r") / col("outDeg")).as("w"))
       val sums = e.join(pin(rankDeg), e("src") === rankDeg("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("w")).as("s"))
       val dmTerm = (lit(d) * (lit(1.0) - col("tm"))) / lit(nS)
-      val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
-        .withColumn("__k", (r("vid") * 0).cast("int"))
-        .join(broadcast(tm), Seq("__k"))
+      val joined = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+      val next = GraphOps.attachScalar(joined, r("vid"), tm, col("tm"))
         .select(r("vid"),
           (when(r("vid") % 100 === 0,
             lit((1.0 - d) / nS) + dmTerm).otherwise(lit(0.0))
             + lit(d) * coalesce(col("s"), lit(0.0))).as("r"),
           r("outDeg"))
-      r = next.localCheckpoint(false)
+      r = next.localCheckpoint(eagerState)
       inter += r
     }
     val out = r.select(col("vid"),
@@ -432,7 +438,8 @@ object DocGraph {
     def normOf(df: DataFrame, score: String, deg: String): DataFrame =
       weighted(df, score, deg).agg(sum(col("ws")).as("nrm"))
         .select(coalesce(col("nrm"), lit(1.0)).as("nrm"))
-        .withColumn("__k", (col("nrm") * 0).cast("int"))
+    // eager state beyond the crossover — see prIterLaid (r6 review fix)
+    val eagerState = nV > broadcastMaxRows
     val inter = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var h = vertsOut
       .select(col("vid"), lit(1.0).as("h"), col("outDeg"))
@@ -443,22 +450,22 @@ object DocGraph {
       val aNorm = normOf(h, "h", "outDeg")
       val ar = e.join(pin(h.select(col("vid"), col("h"))), e("src") === col("vid"))
         .groupBy(e("dst").as("dvid")).agg(sum(col("h")).as("s"))
-      val nextA = vertsIn.join(pin(ar), col("vid") === ar("dvid"), "left")
-        .withColumn("__k", (col("vid") * 0).cast("int"))
-        .join(broadcast(aNorm), Seq("__k"))
+      val nextA = GraphOps.attachScalar(
+          vertsIn.join(pin(ar), col("vid") === ar("dvid"), "left"),
+          col("vid"), aNorm, col("nrm"))
         .select(col("vid"), (coalesce(col("s"), lit(0.0)) / col("nrm")).as("a"),
           col("inDeg"))
-      val matA = nextA.localCheckpoint(false)
+      val matA = nextA.localCheckpoint(eagerState)
       inter += matA
       val hNorm = normOf(matA, "a", "inDeg")
       val hr = e.join(pin(matA.select(col("vid"), col("a"))), e("dst") === col("vid"))
         .groupBy(e("src").as("svid")).agg(sum(col("a")).as("s"))
-      val nextH = vertsOut.join(pin(hr), col("vid") === hr("svid"), "left")
-        .withColumn("__k", (col("vid") * 0).cast("int"))
-        .join(broadcast(hNorm), Seq("__k"))
+      val nextH = GraphOps.attachScalar(
+          vertsOut.join(pin(hr), col("vid") === hr("svid"), "left"),
+          col("vid"), hNorm, col("nrm"))
         .select(col("vid"), (coalesce(col("s"), lit(0.0)) / col("nrm")).as("h"),
           col("outDeg"))
-      val matH = nextH.localCheckpoint(false)
+      val matH = nextH.localCheckpoint(eagerState)
       inter += matH
       h = matH
       a = matA
@@ -1321,25 +1328,25 @@ object DocGraph {
       .localCheckpoint(false)
     inter += r
 
+    // eager state beyond the crossover — see prIterLaid (r6 review fix)
+    val eagerState = nV > broadcastMaxRows
     for (_ <- 1 to k) {
       val tm = r.filter(col("outS").isNotNull)
         .agg(sum(col("r")).as("tm"))
         .select(coalesce(col("tm"), lit(0.0)).as("tm"))
-        .withColumn("__k", (col("tm") * 0).cast("int"))
       val state = r.filter(col("outS").isNotNull)
         .select(col("vid"), col("r"), col("outS"))
       val sums = e.join(pin(state), e("src") === state("vid"))
         .groupBy(e("dst").as("dvid"))
         .agg(sum(col("r") * col("w") / col("outS")).as("s"))
       val dmTerm = (lit(d) * (lit(1.0) - col("tm"))) / lit(nV.toDouble)
-      val next = r.join(pin(sums), r("vid") === sums("dvid"), "left")
-        .withColumn("__k", (r("vid") * 0).cast("int"))
-        .join(broadcast(tm), Seq("__k"))
+      val joined = r.join(pin(sums), r("vid") === sums("dvid"), "left")
+      val next = GraphOps.attachScalar(joined, r("vid"), tm, col("tm"))
         .select(r("vid"),
           (lit((1.0 - d) / nV) + dmTerm
             + lit(d) * coalesce(col("s"), lit(0.0))).as("r"),
           r("outS"))
-      r = next.localCheckpoint(false)
+      r = next.localCheckpoint(eagerState)
       inter += r
     }
     val out = r.select(col("vid"),

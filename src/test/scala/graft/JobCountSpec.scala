@@ -73,23 +73,26 @@ class JobCountSpec extends SparkSpec {
     assert(j8 - j4 == 2, s"expected 1 job per 2 supersteps, got j4=$j4 j8=$j8")
   }
 
-  test("personalized PageRank: zero extra jobs per superstep (deferred in-plan dangling, r6)") {
-    // seeds = vid%100==0 → {0} on the 31-vertex path; the dangling scalar is
-    // an in-plan one-row aggregate, so extra supersteps add no driver action
-    // (each superstep's scalar broadcast is built lazily at materialization;
-    // broadcast builds are async collects, hence the job count still grows
-    // by exactly ONE broadcast job per superstep — pinned as such)
+  test("personalized PageRank: pinned jobs per superstep in the shuffle regime (r6)") {
+    // seeds = vid%100==0 → {0} on the 31-vertex path. broadcastMaxRows = 0
+    // forces the SHUFFLE regime, where the state checkpoints EAGERLY per
+    // superstep (so the in-plan scalar's broadcast build never carries a
+    // whole superstep inside the broadcast timeout): exactly the checkpoint
+    // action + the scalar-broadcast build per extra superstep — pinned as
+    // an exact count so a regression to more driver work fails here. (The
+    // broadcast regime's zero-actions-per-superstep chain is exercised by
+    // the oracle parity suite; job counts there are AQE-shaped.)
     val e = pathEdges(noAqe)
     val j3 = jobsDuring { operators.DocGraph.pprIterEdges(noAqe, e, 3, broadcastMaxRows = 0L).count() }
     val j6 = jobsDuring { operators.DocGraph.pprIterEdges(noAqe, e, 6, broadcastMaxRows = 0L).count() }
-    assert(j6 - j3 <= 3, s"expected at most the per-superstep scalar-broadcast build, got j3=$j3 j6=$j6")
+    assert(j6 - j3 == 6, s"expected checkpoint + scalar-broadcast build per superstep, got j3=$j3 j6=$j6")
   }
 
-  test("HITS: zero extra driver actions per half-step (deferred in-plan normalizer, r6)") {
+  test("HITS: pinned jobs per half-step in the shuffle regime (r6)") {
     val e = pathEdges(noAqe)
     val j2 = jobsDuring { operators.DocGraph.hitsIterEdges(noAqe, e, 2, broadcastMaxRows = 0L).count() }
     val j4 = jobsDuring { operators.DocGraph.hitsIterEdges(noAqe, e, 4, broadcastMaxRows = 0L).count() }
-    assert(j4 - j2 <= 4, s"expected at most the per-half-step normalizer-broadcast build, got j2=$j2 j4=$j4")
+    assert(j4 - j2 == 8, s"expected checkpoint + normalizer-broadcast build per half-step, got j2=$j2 j4=$j4")
   }
 
   test("multi-source BFS: zero extra jobs per superstep (lazy chain, one materializing action)") {
@@ -113,11 +116,11 @@ class JobCountSpec extends SparkSpec {
     assert(j6 - j3 == 0, s"expected a k-independent job count, got j3=$j3 j6=$j6")
   }
 
-  test("weighted PageRank: zero extra driver actions per superstep (deferred in-plan dangling, r6)") {
+  test("weighted PageRank: pinned jobs per superstep in the shuffle regime (r6)") {
     val e = pathEdges(noAqe)
     val j3 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 3, broadcastMaxRows = 0L).count() }
     val j6 = jobsDuring { operators.DocGraph.wprIterEdges(noAqe, e, 6, broadcastMaxRows = 0L).count() }
-    assert(j6 - j3 <= 3, s"expected at most the per-superstep scalar-broadcast build, got j3=$j3 j6=$j6")
+    assert(j6 - j3 == 6, s"expected checkpoint + scalar-broadcast build per superstep, got j3=$j3 j6=$j6")
   }
 
   test("greedy matching: zero extra jobs per round (lazy chain, one materializing action)") {
